@@ -1,0 +1,245 @@
+"""Exact connected components — iterative Boruvka contraction, Spark-first.
+
+Re-expression of the reference's recursive Boruvka / Sibeyn / KKT drivers
+(cpp/streaming/algorithms/Boruvka.h:24-56,
+cpp/streaming/contraction/BoruvkaContraction.h:94-331,
+cpp/FunctionalSubproblemManager.h:430-757) as one driver-side loop of
+DataFrame supersteps. The reference's recursion existed to bound *memory*
+(its semi-external switch at Boruvka.h:83-85); Spark manages spill, so the
+recursion flattens to iteration and only the superstep algebra survives:
+
+    per round:  hook (min-neighbor agg)  ->  pointer-jump to roots
+                ->  contract edges (two relabel joins + normalize + distinct)
+                ->  compose the global label map
+    finish:     when the contracted graph is small, collect it and run an
+                in-driver union-find (the reference's semi-external Kruskal
+                base case, cpp/streaming/basecase/BaseKruskal.h:73-111)
+
+Min-hooking (parent = min(node, min_neighbor), BoruvkaContraction.h:122-133)
+guarantees parent <= node, so the hook forest is acyclic and every tree root
+is a local minimum; after full pointer jumping, each round maps every node to
+a strictly-smaller representative unless it already is one. The global
+minimum of a component never hooks, so the fixpoint labels every node with
+its component's MINIMUM member — the canonical labeling (the reference's root
+choice is algorithm-dependent; only the partition is canonical, SURVEY.md §5.2).
+
+Contraction ratio: >= 2x node reduction per round (each surviving root
+absorbed at least one other node — BoruvkaContraction.h:325-327 gives the
+same 0.5 bound), so rounds = O(log n); pointer jumping inside a round is
+O(log depth) self-joins on a table that is *nodes*, not edges.
+
+Scale design (100 TB / 10^12 edges):
+* every step is groupBy/join/distinct on (long, long) rows — all shuffles are
+  key-hash over 16-byte tuples, map-side combined where possible;
+* the parent table shrinks geometrically; once it fits the broadcast
+  threshold, relabel joins flip to broadcast (the semi-external switch);
+* per-round checkpointing to parquet truncates lineage (iterative join plans
+  otherwise grow exponentially in Catalyst) AND is the resume point;
+* AQE skew-join splitting handles giant-component skew in relabel joins.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import compose_labels, contract
+from ..operators.normalize import canonicalize, symmetrize
+from ..checkpoint import RoundCheckpointer
+
+
+@dataclass
+class CCMetrics:
+    """Per-round metrics — the reference's iostats/CSV logging made durable
+    (cpp/run-boruvka.cpp:32-59; SURVEY.md §6)."""
+
+    rounds: list[dict] = field(default_factory=list)
+
+    @property
+    def n_rounds(self) -> int:
+        return len(self.rounds)
+
+    def add(self, **kw) -> None:
+        self.rounds.append(kw)
+
+
+def _hook_parents(edges: DataFrame) -> DataFrame:
+    """One hooking pass: parent(u) = min(u, min neighbor of u).
+
+    Reference: the min-incident-neighbor scan of BoruvkaContraction.h:122-133,
+    with the 2-cycle root fix (lines 135-163) made unnecessary by taking
+    min(u, ...) — parent <= node, so no cycles exist at all.
+    """
+    return (
+        symmetrize(edges)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.col("node")).alias("comp"))
+    )
+
+
+def _pointer_jump(parents: DataFrame, max_iters: int = 64) -> DataFrame:
+    """Iterate comp <- parent(comp) until fixpoint.
+
+    Replaces the reference's sequential time-forward PQ walk
+    (BoruvkaContraction.h:166-294) with O(log depth) self-joins — the only
+    scalable equivalent of a pointer chase on a 1000-executor cluster.
+    Converges because parent <= node strictly decreases along chains.
+    """
+    p = parents
+    for _ in range(max_iters):
+        q = p.select(F.col("node").alias("__qn"), F.col("comp").alias("__qc"))
+        joined = p.join(q, on=p["comp"] == q["__qn"], how="left").select(
+            "node", "comp", "__qc"
+        )
+        joined = joined.localCheckpoint(eager=True)
+        moved = (
+            joined.filter(
+                F.col("__qc").isNotNull() & (F.col("__qc") != F.col("comp"))
+            )
+            .limit(1)
+            .count()
+        )
+        p = joined.select("node", F.coalesce("__qc", "comp").alias("comp"))
+        if moved == 0:
+            break
+    return p
+
+
+def _union_find_local(edge_rows: list[tuple[int, int]]) -> dict[int, int]:
+    """In-driver union-find with path compression, min-member roots.
+
+    The reference's semi-external Kruskal base case
+    (cpp/streaming/basecase/BaseKruskal.h:73-111) — run on the driver once the
+    contracted graph fits (its `is_semi_externally_handleable` switch,
+    cpp/streaming/algorithms/Boruvka.h:83-85). Union-by-min (not by rank) so
+    every root is its component's minimum, matching the distributed rounds.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes: set[int] = set()
+    for u, v in edge_rows:
+        nodes.add(u)
+        nodes.add(v)
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        lo, hi = (ru, rv) if ru < rv else (rv, ru)
+        parent[hi] = lo
+    return {x: find(x) for x in nodes}
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    small_graph_threshold: int = 200_000,
+    max_rounds: int = 64,
+    broadcast_threshold_rows: int = 2_000_000,
+    checkpointer: RoundCheckpointer | None = None,
+    metrics: CCMetrics | None = None,
+    pre_canonicalized: bool = False,
+) -> DataFrame:
+    """Exact CC labels (node, comp) with comp = min member of the component.
+
+    ``small_graph_threshold``: edge count at which the remaining contracted
+    graph is collected and finished with in-driver union-find — the Spark
+    analogue of the reference's semi-external switch (Boruvka.h:32-36).
+    ``broadcast_threshold_rows``: label-table size below which relabel joins
+    are forced broadcast.
+    ``checkpointer``: if given, per-round edge/label tables are persisted and
+    a killed run resumes from the last completed round.
+    """
+    spark = edges.sparkSession
+    metrics = metrics if metrics is not None else CCMetrics()
+
+    e = edges if pre_canonicalized else canonicalize(edges)
+    labels: DataFrame | None = None
+    start_round = 0
+
+    if checkpointer is not None:
+        resumed = checkpointer.resume()
+        if resumed is not None:
+            start_round, e, labels = resumed
+
+    e = e.persist()
+    m = e.count()
+
+    for rnd in range(start_round, max_rounds):
+        if m == 0:
+            break
+        t0 = time.time()
+
+        if m <= small_graph_threshold:
+            # --- semi-external finish: collect + union-find on the driver ---
+            rows = [(r[0], r[1]) for r in e.select("src", "dst").collect()]
+            mapping = _union_find_local(rows)
+            local_labels = spark.createDataFrame(
+                list(mapping.items()), schema="node long, comp long"
+            )
+            if labels is None:
+                labels = local_labels
+            else:
+                labels = compose_labels(labels, local_labels)
+            metrics.add(
+                round=rnd, kind="unionfind_finish", m=m,
+                wall_sec=time.time() - t0,
+            )
+            e.unpersist()
+            m = 0
+            break
+
+        # --- one Boruvka superstep ---
+        parents = _hook_parents(e)
+        round_labels = _pointer_jump(parents).persist()
+        n_before = round_labels.count()
+
+        do_broadcast = n_before <= broadcast_threshold_rows
+        e_next = contract(e, round_labels, broadcast_labels=do_broadcast)
+
+        if labels is None:
+            labels = round_labels
+        else:
+            labels = compose_labels(labels, round_labels)
+
+        if checkpointer is not None:
+            e_next, labels = checkpointer.save_round(rnd, e_next, labels)
+        else:
+            e_next = e_next.localCheckpoint(eager=True)
+            labels = labels.localCheckpoint(eager=True)
+
+        e.unpersist()
+        round_labels.unpersist()
+        e = e_next.persist()
+        m_next = e.count()
+        metrics.add(
+            round=rnd, kind="boruvka_superstep", m=m, m_next=m_next,
+            n_nodes=n_before, wall_sec=time.time() - t0,
+            edges_per_sec=m / max(time.time() - t0, 1e-9),
+            broadcast=do_broadcast,
+        )
+        m = m_next
+
+    if labels is None:
+        # no edges at all -> empty labeling
+        labels = spark.createDataFrame([], schema="node long, comp long")
+    if checkpointer is not None:
+        labels = checkpointer.save_final(labels)
+    return labels
+
+
+def connected_components_metrics(edges: DataFrame, **kw) -> tuple[DataFrame, CCMetrics]:
+    """connected_components + its per-round metrics (rounds-to-convergence,
+    edges/sec per superstep — BASELINE.json's headline metrics)."""
+    metrics = CCMetrics()
+    labels = connected_components(edges, metrics=metrics, **kw)
+    return labels, metrics

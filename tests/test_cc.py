@@ -1,0 +1,138 @@
+"""Connected components: known-answer families + union-find oracle +
+invariants (mirrors test/TestContractions.cpp and stream-checks.hpp)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from em_connected_components_spark.sources import generators as gen
+from em_connected_components_spark.operators.normalize import canonicalize
+from em_connected_components_spark.plans.connected_components import (
+    connected_components,
+    connected_components_metrics,
+)
+
+from .conftest import labels_to_partition, python_union_find
+
+
+def _partition(labels_df):
+    return labels_to_partition(labels_df.collect())
+
+
+def _assert_star_map(labels_df):
+    """Stars-only validity (cpp/stream-checks.hpp:23-53): unique nodes; every
+    comp is the min of its members; comp <= node."""
+    rows = labels_df.collect()
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == len(set(nodes))
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["comp"], set()).add(r["node"])
+    for comp, members in by_comp.items():
+        assert comp == min(members | {comp})
+
+
+@pytest.mark.parametrize("small_threshold", [0, 10_000_000])
+def test_matching(spark, small_threshold):
+    # k pairs -> k components of size 2; one round contracts fully
+    k = 256
+    labels = connected_components(
+        gen.matching(spark, k), small_graph_threshold=small_threshold
+    )
+    part = _partition(labels)
+    assert part == {frozenset({2 * i - 1, 2 * i}) for i in range(1, k + 1)}
+    _assert_star_map(labels)
+
+
+def test_path_distributed_only(spark):
+    # path of n nodes -> 1 component, min label 1
+    n = 300
+    labels = connected_components(gen.path(spark, n), small_graph_threshold=0)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r["comp"] for r in rows} == {1}
+
+
+def test_grid(spark):
+    labels = connected_components(gen.grid(spark, 8, 9), small_graph_threshold=0)
+    assert labels.select("comp").distinct().count() == 1
+    assert labels.count() == 72
+
+
+def test_cliques(spark):
+    labels = connected_components(
+        gen.cliques(spark, k=8, count=10), small_graph_threshold=0
+    )
+    part = _partition(labels)
+    assert part == {
+        frozenset(range(c * 8 + 1, (c + 1) * 8 + 1)) for c in range(10)
+    }
+
+
+def test_cube_layers(spark):
+    # 3 disjoint 4x4 layers -> 3 components
+    labels = connected_components(
+        gen.cube(spark, 4, 4, layers=3, d=1), small_graph_threshold=0
+    )
+    assert labels.select("comp").distinct().count() == 3
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_gilbert_vs_unionfind_oracle(spark, seed):
+    edges = canonicalize(gen.gilbert(spark, n=500, avg_degree=1.5, seed=seed))
+    edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    labels = connected_components(edges, small_graph_threshold=0,
+                                  pre_canonicalized=True)
+    assert _partition(labels) == python_union_find(edge_rows)
+    _assert_star_map(labels)
+
+
+def test_rmat_vs_unionfind_oracle(spark):
+    edges = canonicalize(gen.rmat(spark, scale=9, edge_factor=4, seed=3))
+    edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    labels = connected_components(edges, small_graph_threshold=0,
+                                  pre_canonicalized=True)
+    assert _partition(labels) == python_union_find(edge_rows)
+
+
+def test_semi_external_switch_agrees(spark):
+    # distributed-only vs union-find finish produce the same partition
+    edges = canonicalize(gen.gilbert(spark, n=400, avg_degree=2.0, seed=11))
+    a = connected_components(edges, small_graph_threshold=0,
+                             pre_canonicalized=True)
+    b = connected_components(edges, small_graph_threshold=10_000_000,
+                             pre_canonicalized=True)
+    assert _partition(a) == _partition(b)
+
+
+def test_dirty_input_normalized(spark):
+    # self-loops + duplicates + reversed duplicates must not change the answer
+    dirty = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 2), (1, 2), (3, 4), (4, 3), (5, 5)],
+        schema="src long, dst long",
+    )
+    labels = connected_components(dirty, small_graph_threshold=0)
+    part = _partition(labels)
+    # node 5 only had a self-loop -> it disappears after normalization
+    assert part == {frozenset({1, 2}), frozenset({3, 4})}
+
+
+def test_empty_graph(spark):
+    empty = spark.createDataFrame([], schema="src long, dst long")
+    labels = connected_components(empty)
+    assert labels.count() == 0
+    assert [f.name for f in labels.schema.fields] == ["node", "comp"]
+
+
+def test_metrics_and_convergence(spark):
+    edges = gen.path(spark, 200)
+    labels, metrics = connected_components_metrics(
+        edges, small_graph_threshold=0
+    )
+    assert labels.select("comp").distinct().count() == 1
+    assert metrics.n_rounds >= 1
+    for r in metrics.rounds:
+        assert r["wall_sec"] > 0
+        if r["kind"] == "boruvka_superstep":
+            assert r["m_next"] < r["m"]  # monotone edge shrink

@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Graph operators are made oracle-checkable by deriving edge tables from the
+TPC-H-ish relations (FIXTURES.md §3): the customer->nation star graph and the
+per-user event path graph keep recursive-CTE closures small; the
+lineitem bipartite graph exercises scale. Every computed column is aliased
+identically in the Spark code and the SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +17,520 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from em_connected_components_spark.functions import dedup_docs as dd
+from em_connected_components_spark.functions import similarity as sim
+from em_connected_components_spark.functions import text as tx
+from em_connected_components_spark.operators import aggregates as agg
+from em_connected_components_spark.plans.connected_components import (
+    connected_components,
+)
+from em_connected_components_spark.sources import tables as tbl
+
+OFFSET = tbl.OFFSET
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact connected components of the customer<->nation star
+    graph at sf0.001, returning per-component sizes (one row per nation
+    cluster)."""
+    edges = tbl.edges_customer_nation(spark, "/root/testdata/sf0.001")
+    labels = connected_components(edges, small_graph_threshold=0)
+    return (
+        labels.groupBy("comp")
+        .agg(F.count("*").alias("size"))
+        .orderBy("comp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark side
+# ---------------------------------------------------------------------------
+
+def _q_edges_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    return tbl.edges_lineitem(spark, sf)
+
+
+def _q_degrees_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.degrees(tbl.edges_lineitem(spark, sf))
+
+
+def _q_degree_hist_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.degree_histogram(tbl.edges_lineitem(spark, sf))
+
+
+def _q_max_node_id(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.max_node_id(tbl.edges_lineitem(spark, sf))
+
+
+def _q_node_count(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.node_count_exact(tbl.edges_lineitem(spark, sf))
+
+
+def _q_min_neighbor(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.min_neighbor(tbl.edges_lineitem(spark, sf)).withColumnRenamed(
+        "min_neighbor", "min_nbr"
+    )
+
+
+def _q_max_neighbor(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.max_neighbor(tbl.edges_lineitem(spark, sf)).withColumnRenamed(
+        "max_neighbor", "max_nbr"
+    )
+
+
+def _q_cc_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    edges = tbl.edges_customer_nation(spark, sf)
+    return connected_components(edges, small_graph_threshold=0).orderBy("node")
+
+
+def _q_cc_sizes_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    edges = tbl.edges_customer_nation(spark, sf)
+    labels = connected_components(edges, small_graph_threshold=0)
+    return agg.component_sizes(labels)
+
+
+def _q_cc_events_paths(spark: SparkSession, sf: str) -> DataFrame:
+    edges = tbl.edges_events(spark, sf)
+    return connected_components(edges, small_graph_threshold=0).orderBy("node")
+
+
+def _q_cc_lineitem_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    # large bipartite graph: component-size histogram (rows-only check — the
+    # transitive closure is too large for a recursive-CTE oracle)
+    edges = tbl.edges_lineitem(spark, sf)
+    labels = connected_components(edges)
+    return agg.component_size_histogram(labels)
+
+
+# --- relational coverage (scan/filter/agg/join/window/rollup) --------------
+
+def _q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = tbl.load_table(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_top_orders_per_cust(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = tbl.load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def _q_segment_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    o = tbl.load_table(spark, sf, "orders")
+    c = tbl.load_table(spark, sf, "customer")
+    return (
+        o.join(c, on=o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _q_orders_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    o = tbl.load_table(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = tbl.load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def _q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    # sessionization: a new session starts after a >30-minute gap
+    from pyspark.sql import Window as W
+
+    ev = tbl.load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ))
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+# --- documents: text analysis + dedup ---------------------------------------
+
+def _q_docs_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    d = tbl.load_table(spark, sf, "documents")
+    return d.select("doc_id", tx.token_count("text").alias("n_tokens"))
+
+
+def _q_docs_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    d = tbl.load_table(spark, sf, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+def _q_docs_lang_hist(spark: SparkSession, sf: str) -> DataFrame:
+    d = tbl.load_table(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+def _q_docs_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = tbl.load_table(spark, sf, "documents")
+    return tx.quality_features(d).select(
+        "doc_id", "n_chars_q", "n_tokens_q", "n_punct_q", "n_digits_q", "n_upper_q"
+    )
+
+
+def _q_docs_exact_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    d = tbl.load_table(spark, sf, "documents")
+    return dd.exact_duplicate_groups(d)
+
+
+def _q_docs_minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    d = tbl.load_table(spark, sf, "documents")
+    sh = dd.shingles(d, n=3)
+    return dd.minhash_signatures(sh, num_hashes=4)
+
+
+def _q_docs_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # exact n-gram Jaccard >= 0.2 over pairs sharing at least one shingle
+    d = tbl.load_table(spark, sf, "documents")
+    sh = dd.shingles(d, n=3)
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
+        sa.join(sb, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return dd.ngram_jaccard_pairs(sh, cand).filter(F.col("jaccard6") >= 0.2)
+
+
+def _q_docs_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # the scalable LSH pipeline (approximate candidate generation) — rows-only
+    d = tbl.load_table(spark, sf, "documents")
+    return dd.minhash_near_duplicates(d, threshold=0.2)
+
+
+def _q_docs_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    # xxhash64-based simhash — Spark-specific hash, rows-only check
+    d = tbl.load_table(spark, sf, "documents")
+    return dd.simhash(d)
+
+
+def _q_docs_langid(spark: SparkSession, sf: str) -> DataFrame:
+    # heuristic language ID (SQL-expression variant) — rows-only
+    d = tbl.load_table(spark, sf, "documents")
+    return d.select("doc_id", "lang", tx.language_id_expr("text").alias("lang_pred"))
+
+
+# --- embeddings: similarity search ------------------------------------------
+
+def _q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    emb = tbl.load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk_bruteforce(emb, queries_df, k=5)
+
+
+def _q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # approximate ANN via random-hyperplane buckets — rows-only
+    emb = tbl.load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk_lsh(emb, queries_df, dim=64, k=5, planes=8)
+
+
+def _q_emb_norms_by_label(spark: SparkSession, sf: str) -> DataFrame:
+    emb = tbl.load_table(spark, sf, "embeddings")
+    return (
+        sim.with_norm(emb)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 6).alias("avg_norm6"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "edges_lineitem": _q_edges_lineitem,
+        "degrees_lineitem": _q_degrees_lineitem,
+        "degree_hist_lineitem": _q_degree_hist_lineitem,
+        "max_node_id_lineitem": _q_max_node_id,
+        "node_count_lineitem": _q_node_count,
+        "min_neighbor_lineitem": _q_min_neighbor,
+        "max_neighbor_lineitem": _q_max_neighbor,
+        "cc_customer_nation": _q_cc_customer_nation,
+        "cc_sizes_customer_nation": _q_cc_sizes_customer_nation,
+        "cc_events_paths": _q_cc_events_paths,
+        "cc_lineitem_sizes": _q_cc_lineitem_sizes,
+        "tpch_q1": _q_tpch_q1,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        "segment_revenue": _q_segment_revenue,
+        "orders_rollup": _q_orders_rollup,
+        "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "docs_token_counts": _q_docs_token_counts,
+        "docs_fingerprints": _q_docs_fingerprints,
+        "docs_lang_hist": _q_docs_lang_hist,
+        "docs_quality": _q_docs_quality,
+        "docs_exact_dup_groups": _q_docs_exact_dup_groups,
+        "docs_minhash_sigs": _q_docs_minhash_sigs,
+        "docs_jaccard_pairs": _q_docs_jaccard_pairs,
+        "docs_minhash_near_dups": _q_docs_minhash_near_dups,
+        "docs_simhash": _q_docs_simhash,
+        "docs_langid": _q_docs_langid,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_lsh": _q_knn_lsh,
+        "emb_norms_by_label": _q_emb_norms_by_label,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracles — DuckDB side
+# ---------------------------------------------------------------------------
+
+_EDGES_LI = f"""
+  SELECT DISTINCT l_orderkey AS src, l_suppkey + {OFFSET} AS dst FROM lineitem
+"""
+
+_SYM_LI = f"""
+  WITH e AS ({_EDGES_LI}),
+  sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+"""
+
+_EDGES_CN = f"""
+  SELECT DISTINCT c_custkey AS src, c_nationkey + {OFFSET} AS dst FROM customer
+"""
+
+# min-member component label via recursive reachability over the symmetrized
+# edge set; tractable because components are stars / short paths.
+def _cc_oracle(edges_sql: str) -> str:
+    return f"""
+      WITH RECURSIVE e AS ({edges_sql}),
+      sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      reach(node, x) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.x
+      )
+      SELECT node, MIN(x) AS comp FROM reach GROUP BY node ORDER BY node
     """
-    return {}
+
+
+# word 3-gram shingles, matching em_connected_components_spark.functions.
+# dedup_docs.shingles: sliding slice of the whitespace-split word list; docs
+# shorter than n words contribute their full text as one shingle.
+_SHINGLES_SQL = r"""
+  WITH words AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+  sh0 AS (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
+    FROM words),
+  sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+_EDGES_EV = """
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edges_lineitem": _EDGES_LI,
+        "degrees_lineitem": f"""
+          {_SYM_LI}
+          SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src
+        """,
+        "degree_hist_lineitem": f"""
+          {_SYM_LI},
+          deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src)
+          SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+        """,
+        "max_node_id_lineitem": f"""
+          WITH e AS ({_EDGES_LI})
+          SELECT MAX(GREATEST(src, dst)) AS max_node_id FROM e
+        """,
+        "node_count_lineitem": f"""
+          {_SYM_LI}
+          SELECT COUNT(DISTINCT src) AS n_nodes FROM sym
+        """,
+        "min_neighbor_lineitem": f"""
+          {_SYM_LI}
+          SELECT src AS node, MIN(dst) AS min_nbr FROM sym GROUP BY src
+        """,
+        "max_neighbor_lineitem": f"""
+          {_SYM_LI}
+          SELECT src AS node, MAX(dst) AS max_nbr FROM sym GROUP BY src
+        """,
+        "cc_customer_nation": _cc_oracle(_EDGES_CN),
+        "cc_sizes_customer_nation": f"""
+          WITH lab AS ({_cc_oracle(_EDGES_CN)})
+          SELECT comp, COUNT(*) AS size FROM lab GROUP BY comp
+        """,
+        "cc_events_paths": _cc_oracle(_EDGES_EV),
+        # cc_lineitem_sizes: intentionally no oracle (closure too large);
+        # driver records the weaker rows-only check.
+        "tpch_q1": """
+          SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+                 COUNT(*) AS count_order
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_cust": """
+          SELECT o_custkey, o_orderkey, rk FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders) WHERE rk <= 3
+        """,
+        "segment_revenue": """
+          SELECT c_mktsegment, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment
+        """,
+        "orders_rollup": """
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "events_hourly": """
+          SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_start,
+                 event_type, COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+          WITH g AS (
+            SELECT user_id, ts, event_id,
+                   epoch(ts) - epoch(lag(ts) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+            FROM events),
+          s AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+            FROM g)
+          SELECT user_id, sess_id, COUNT(*) AS n_events
+          FROM s GROUP BY user_id, sess_id
+        """,
+        "docs_token_counts": r"""
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+          FROM documents
+        """,
+        "docs_fingerprints": """
+          SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents
+        """,
+        "docs_lang_hist": """
+          SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM documents GROUP BY lang
+        """,
+        "docs_quality": r"""
+          SELECT doc_id,
+                 length(text) AS n_chars_q,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_q,
+                 length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct_q,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits_q,
+                 length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper_q
+          FROM documents
+        """,
+        "docs_exact_dup_groups": """
+          SELECT substr(md5(text), 1, 16) AS text_hash,
+                 COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+          FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "docs_minhash_sigs": _SHINGLES_SQL + """
+          SELECT doc_id,
+                 MIN(md5('0:' || shingle)) AS mh_0,
+                 MIN(md5('1:' || shingle)) AS mh_1,
+                 MIN(md5('2:' || shingle)) AS mh_2,
+                 MIN(md5('3:' || shingle)) AS mh_3
+          FROM sh GROUP BY doc_id
+        """,
+        "docs_jaccard_pairs": _SHINGLES_SQL + """,
+          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+          inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.id_a
+            JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+            GROUP BY c.id_a, c.id_b)
+          SELECT i.id_a, i.id_b,
+                 round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard6
+          FROM inter i
+          JOIN sizes za ON za.doc_id = i.id_a
+          JOIN sizes zb ON zb.doc_id = i.id_b
+          WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.2
+        """,
+        "knn_bruteforce": """
+          WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                     FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+          scored AS (
+            SELECT qid AS query_id, nid AS neighbor_id,
+                   round(list_cosine_similarity(cv, qv), 9) AS cos9
+            FROM c, q WHERE nid != qid)
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+            FROM scored) WHERE rank <= 5
+        """,
+        "emb_norms_by_label": """
+          SELECT label, COUNT(*) AS n_vecs,
+                 round(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm6
+          FROM embeddings GROUP BY label
+        """,
+        # rows-only (non-SQL-expressible / engine-specific hashes):
+        # docs_minhash_near_dups (approximate LSH candidates), docs_simhash
+        # (xxhash64), docs_langid (heuristic), knn_lsh (approximate ANN).
+    }

@@ -1,0 +1,228 @@
+"""Document deduplication family — exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Design for 100 TB corpora:
+* exact dedup = one hash-groupBy (map-side combined);
+* MinHash signatures are computed per-shingle then min-aggregated — a single
+  explode + groupBy, no per-doc Python loops;
+* LSH banding turns all-pairs similarity into an equi-join on (band, band
+  signature) buckets — candidate pairs only, never n^2;
+* hash parity trick: signatures are MIN(md5(seed || shingle)) hex STRINGS, so
+  the same signature is computable in any engine with md5 (DuckDB oracle
+  parity) — lexicographic order on the hex = numeric order on the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_docs, keeper_id),
+    only groups with >1 member. One shuffle."""
+    return (
+        df.select(fingerprint(text_col).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each identical-text group."""
+    w_keep = (
+        df.select(fingerprint(text_col).alias("__h"), F.col(id_col).alias("__keep"))
+        .groupBy("__h")
+        .agg(F.min("__keep").alias("__keep"))
+    )
+    return (
+        df.withColumn("__h", fingerprint(text_col))
+        .join(w_keep, on="__h", how="inner")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__h", "__keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Pure built-ins: split -> sliding window via transform over an index
+    sequence -> explode. Documents shorter than n words yield their full text
+    as the single shingle (so they still participate).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: num_hashes columns mh_0..mh_{k-1}, each
+    MIN(md5(i || ':' || shingle)) — engine-portable, deterministic, one
+    groupBy."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a candidate
+    pair (id_a < id_b). Equi-join on (band_idx, band_key) — scales as the
+    bucket sizes, not n^2."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingle_df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs:
+    |A ∩ B| via a shingle equi-join restricted to candidates, |A ∪ B| from
+    per-doc shingle counts. Returns (id_a, id_b, jaccard6) with the ratio
+    rounded to 6 dp."""
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sa, on="id_a")
+        .join(sb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, on="id_a")
+        .join(zb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard6"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: shingle -> minhash -> LSH candidates ->
+    exact Jaccard filter >= threshold. Returns (id_a, id_b, jaccard6)."""
+    sh = shingles(df, text_col, id_col, n).persist()
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    out = ngram_jaccard_pairs(sh, cand, id_col).filter(
+        F.col("jaccard6") >= threshold
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document from word-level xxhash64 features.
+
+    Per-bit weighted majority expressed as explode + groupBy over (doc, bit):
+    all JVM-side. Hamming-close simhashes = near-duplicate candidates."""
+    words = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    hashed = words.select(id_col, F.xxhash64("w").alias("h"))
+    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = hashed.select(id_col, "h", bit_idx).withColumn(
+        "vote",
+        # shiftright with a column shift amount needs the SQL form
+        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"),
+    )
+    return (
+        per_bit.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy(id_col)
+        .agg(
+            # set bit `bit` when the majority vote is positive; bit 63 lands in
+            # the sign bit — the simhash is a signed 64-bit value by design
+            F.sum(
+                F.expr("shiftleft(CAST(bitval AS BIGINT), CAST(bit AS INT))")
+            ).alias("simhash")
+        )
+    )
+
+
+def hamming_distance64(a, b):
+    """Hamming distance between two 64-bit columns (bit_count of xor)."""
+    return F.bit_count(F.expr(f"{a} ^ {b}"))

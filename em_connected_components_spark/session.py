@@ -49,10 +49,21 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warmup(spark: SparkSession) -> None:
+    """Spin up JVM executors AND the Python-UDF worker pool.
+
+    Local-mode quirk: the first pandas-UDF job after a heavy JVM workload can
+    pay a 10-70s Python-worker spawn penalty; forcing the pool up front makes
+    later timings honest. Call once before benchmarking.
+    """
+    spark.range(1000).agg({"id": "sum"}).collect()
+    spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()

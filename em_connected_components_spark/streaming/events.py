@@ -1,0 +1,90 @@
+"""Structured-streaming analytics over the events stream.
+
+The reference's "streams" are EM iterator pipelines, not event-time streams
+(SURVEY.md §2.9) — this module is the graft's event-time layer: watermarked
+tumbling-window aggregation, session windows, and incremental edge ingest
+(the streaming front door of the link-graph pipeline: micro-batches of edges
+appended to the canonical edge table via foreachBatch upsert).
+
+All builders accept any streaming DataFrame with the events schema
+(event_id, ts, user_id, event_type, value, props); tests drive them with a
+file source over the driver testdata and a memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window per-type counts with late-data watermarking."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> TZ
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (session_window gap semantics)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ -> TZ
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_edge_ingest(
+    events: DataFrame, edge_table_path: str, checkpoint_dir: str
+):
+    """Micro-batch edge ingest: consecutive same-user events become edges,
+    canonicalized and appended to the parquet edge table per batch.
+
+    foreachBatch gives exactly-once append (per the sink's atomic commit) and
+    lets each micro-batch reuse the full batch operator set — the idiomatic
+    bridge from Structured Streaming into the iterative graph engine, which
+    re-runs CC over the table on its own cadence.
+    """
+    from ..operators.normalize import canonicalize
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            batch_df.select(
+                "user_id",
+                F.col("event_id").alias("src"),
+                F.lead("event_id").over(w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+            .select("src", "dst")
+        )
+        canonicalize(edges).write.mode("append").parquet(edge_table_path)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -148,6 +148,9 @@ def connected_components(
     checkpointer: RoundCheckpointer | None = None,
     metrics: CCMetrics | None = None,
     pre_canonicalized: bool = False,
+    policy: "Policy | None" = None,
+    local_solve_bucket_width: int = 0,
+    seed: int = 42,
 ) -> DataFrame:
     """Exact CC labels (node, comp) with comp = min member of the component.
 
@@ -158,9 +161,17 @@ def connected_components(
     are forced broadcast.
     ``checkpointer``: if given, per-round edge/label tables are persisted and
     a killed run resumes from the last completed round.
+    ``policy``: optional plans.policy.Policy overriding the two thresholds and
+    optionally enabling star-contraction rounds by density (variants.hpp).
+    ``local_solve_bucket_width``: >0 runs one bundle-local union-find pass
+    (SibeynWithBundles, G6) before the iterative loop — wins when node ids
+    have locality (paths/grids/crawl order).
     """
     spark = edges.sparkSession
     metrics = metrics if metrics is not None else CCMetrics()
+    if policy is not None:
+        small_graph_threshold = policy.small_graph_edges
+        broadcast_threshold_rows = policy.broadcast_rows
 
     e = edges if pre_canonicalized else canonicalize(edges)
     labels: DataFrame | None = None
@@ -171,8 +182,29 @@ def connected_components(
         if resumed is not None:
             start_round, e, labels = resumed
 
+    if start_round == 0 and local_solve_bucket_width > 0:
+        # --- G6 pre-pass: per-bundle union-find, then contract ---
+        from .local_solve import local_unionfind_pass
+
+        t0 = time.time()
+        contracted, loc_labels = local_unionfind_pass(
+            e, bucket_width=local_solve_bucket_width
+        )
+        identity = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("comp"))
+        )
+        labels = compose_labels(identity, loc_labels).localCheckpoint(eager=True)
+        e = contracted.localCheckpoint(eager=True)
+        loc_labels.unpersist()
+        metrics.add(round=-1, kind="local_unionfind_pass",
+                    wall_sec=time.time() - t0)
+
     e = e.persist()
     m = e.count()
+    n_prev: int | None = None
 
     for rnd in range(start_round, max_rounds):
         if m == 0:
@@ -198,9 +230,19 @@ def connected_components(
             m = 0
             break
 
-        # --- one Boruvka superstep ---
-        parents = _hook_parents(e)
-        round_labels = _pointer_jump(parents).persist()
+        # --- one contraction superstep (boruvka or star, per policy) ---
+        strategy = "boruvka"
+        if policy is not None and n_prev is not None:
+            strategy = policy.contraction_strategy(n_prev, m)
+        if strategy == "star":
+            from .star_contraction import star_contraction_round
+
+            round_labels = star_contraction_round(
+                e, seed=seed + rnd
+            ).persist()
+        else:
+            parents = _hook_parents(e)
+            round_labels = _pointer_jump(parents).persist()
         n_before = round_labels.count()
 
         do_broadcast = n_before <= broadcast_threshold_rows
@@ -222,11 +264,13 @@ def connected_components(
         e = e_next.persist()
         m_next = e.count()
         metrics.add(
-            round=rnd, kind="boruvka_superstep", m=m, m_next=m_next,
+            round=rnd, kind=f"{strategy}_superstep", m=m, m_next=m_next,
             n_nodes=n_before, wall_sec=time.time() - t0,
             edges_per_sec=m / max(time.time() - t0, 1e-9),
             broadcast=do_broadcast,
         )
+        if strategy == "boruvka":
+            n_prev = n_before  # true node count of the contracted graph
         m = m_next
 
     if labels is None:

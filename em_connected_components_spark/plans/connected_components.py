@@ -108,6 +108,38 @@ def _pointer_jump(parents: DataFrame, max_iters: int = 64) -> DataFrame:
     return p
 
 
+def _pointer_jump_local(parents: DataFrame) -> DataFrame:
+    """Collect the parent table and pointer-jump in numpy (path doubling on
+    index arrays) — the semi-external analogue for the jump phase.
+
+    A distributed jump iteration costs a full self-join + checkpoint + count
+    (~seconds of fixed overhead) regardless of size; once the parent table
+    fits the driver (it shrinks ~2x per round), log2(depth) numpy gathers do
+    the same work in milliseconds. Arrow transfers both ways.
+    """
+    import numpy as np
+
+    spark = parents.sparkSession
+    pdf = parents.select("node", "comp").toPandas()
+    nodes = pdf["node"].to_numpy(dtype=np.int64)
+    comp = pdf["comp"].to_numpy(dtype=np.int64)
+    order = np.argsort(nodes)
+    nodes_s = nodes[order]
+    comp_s = comp[order]
+    # map comp values -> index into nodes_s; every comp is itself a node
+    for _ in range(64):
+        idx = np.searchsorted(nodes_s, comp_s)
+        nxt = comp_s[idx]
+        if np.array_equal(nxt, comp_s):
+            break
+        comp_s = nxt
+    out = spark.createDataFrame(
+        __import__("pandas").DataFrame({"node": nodes_s, "comp": comp_s}),
+        schema="node long, comp long",
+    )
+    return out
+
+
 def _union_find_local(edge_rows: list[tuple[int, int]]) -> dict[int, int]:
     """In-driver union-find with path compression, min-member roots.
 
@@ -150,6 +182,7 @@ def connected_components(
     pre_canonicalized: bool = False,
     policy: "Policy | None" = None,
     local_solve_bucket_width: int = 0,
+    jump_local_threshold: int = 5_000_000,
     seed: int = 42,
 ) -> DataFrame:
     """Exact CC labels (node, comp) with comp = min member of the component.
@@ -166,6 +199,10 @@ def connected_components(
     ``local_solve_bucket_width``: >0 runs one bundle-local union-find pass
     (SibeynWithBundles, G6) before the iterative loop — wins when node ids
     have locality (paths/grids/crawl order).
+    ``jump_local_threshold``: parent tables at or below this row count do
+    their pointer jumping in numpy on the driver (one Arrow round-trip)
+    instead of log(depth) distributed self-joins — the jump-phase analogue of
+    the semi-external switch.
     """
     spark = edges.sparkSession
     metrics = metrics if metrics is not None else CCMetrics()
@@ -241,8 +278,13 @@ def connected_components(
                 e, seed=seed + rnd
             ).persist()
         else:
-            parents = _hook_parents(e)
-            round_labels = _pointer_jump(parents).persist()
+            parents = _hook_parents(e).persist()
+            n_parents = parents.count()
+            if n_parents <= jump_local_threshold:
+                round_labels = _pointer_jump_local(parents).persist()
+            else:
+                round_labels = _pointer_jump(parents).persist()
+            parents.unpersist()
         n_before = round_labels.count()
 
         do_broadcast = n_before <= broadcast_threshold_rows

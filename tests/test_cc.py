@@ -96,6 +96,17 @@ def test_rmat_vs_unionfind_oracle(spark):
     assert _partition(labels) == python_union_find(edge_rows)
 
 
+def test_local_vs_distributed_pointer_jump(spark):
+    # same labels whichever side of the jump_local_threshold we land on
+    edges = canonicalize(gen.rmat(spark, scale=9, edge_factor=4, seed=8))
+    a = connected_components(edges, small_graph_threshold=0,
+                             pre_canonicalized=True, jump_local_threshold=0)
+    b = connected_components(edges, small_graph_threshold=0,
+                             pre_canonicalized=True,
+                             jump_local_threshold=10**9)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_semi_external_switch_agrees(spark):
     # distributed-only vs union-find finish produce the same partition
     edges = canonicalize(gen.gilbert(spark, n=400, avg_degree=2.0, seed=11))

@@ -298,6 +298,33 @@ def _q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return sim.cosine_topk_lsh(emb, queries_df, dim=64, k=5, planes=8)
 
 
+def _q_emb_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # exact embedding-cosine near-duplicate pairs (the semantic-dedup baseline)
+    emb = tbl.load_table(spark, sf, "embeddings")
+    return sim.embedding_near_duplicates(emb, threshold=0.4)
+
+
+def _q_emb_near_dups_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # LSH-bucketed near-dup candidates + exact within-bucket filter — the
+    # 100 TB path; approximate (bucket collisions), rows-only check
+    emb = tbl.load_table(spark, sf, "embeddings")
+    return sim.embedding_near_duplicates_lsh(emb, dim=64, threshold=0.4, planes=4)
+
+
+def _q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF-flat ANN: inverted-list partitioning by nearest centroid — rows-only
+    emb = tbl.load_table(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk_ivf(emb, queries_df, k=5, n_lists=16, nprobe=4)
+
+
+def _q_node_count_approx(spark: SparkSession, sf: str) -> DataFrame:
+    # HLL++ sketch node count (reference's MinSketch/Tidemark/KSummary family,
+    # cpp/MinSketch.h, cpp/Tidemark.h) — estimator value is engine-specific,
+    # rows-only check; the rsd-bound accuracy test lives in pytest
+    return agg.node_count_approx(tbl.edges_lineitem(spark, sf))
+
+
 def _q_emb_norms_by_label(spark: SparkSession, sf: str) -> DataFrame:
     emb = tbl.load_table(spark, sf, "embeddings")
     return (
@@ -344,6 +371,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_langid": _q_docs_langid,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "emb_near_dups_exact": _q_emb_near_dups,
+        "emb_near_dups_lsh": _q_emb_near_dups_lsh,
+        "node_count_approx_lineitem": _q_node_count_approx,
         "emb_norms_by_label": _q_emb_norms_by_label,
     }
 
@@ -567,6 +598,13 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY cos9 DESC, neighbor_id ASC) AS rank
             FROM scored) WHERE rank <= 5
+        """,
+        "emb_near_dups_exact": """
+          WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.e, b.e), 9) AS cos9
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.e, b.e), 9) >= 0.4
         """,
         "emb_norms_by_label": """
           SELECT label, COUNT(*) AS n_vecs,

@@ -99,6 +99,173 @@ def lsh_bucket(
     return df.withColumn("bucket", bucket)
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, cos9) with
+    id_a < id_b and cosine >= threshold.
+
+    The exact O(n^2) baseline of the near-dup family (dedup on semantic
+    embeddings rather than text shingles). Feasible for modest n or as the
+    within-bucket verifier of the LSH variant below — which is the 100 TB
+    path.
+    """
+    a = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("norm").alias("__na"),
+    )
+    b = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("norm").alias("__nb"),
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 9).alias("cos9"))
+        .filter(F.col("cos9") >= threshold)
+    )
+
+
+def embedding_near_duplicates_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate embedding near-dup pairs: candidates = same LSH bucket,
+    then the exact cosine filter within the bucket.
+
+    The scale path: the O(n^2) crossJoin becomes an equi-self-join on bucket
+    id; each bucket holds ~n/2^planes vectors, so total work is
+    n^2/2^planes. High-cosine pairs collide with probability
+    (1 - theta/pi)^planes — tune `planes` to the threshold.
+    """
+    bucketed = lsh_bucket(with_norm(df, vec_col), dim, planes, seed, vec_col)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("norm").alias("__na"), "bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("norm").alias("__nb"), "bucket",
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 9).alias("cos9"))
+        .filter(F.col("cos9") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest centroids by cosine.
+
+    Centroids are broadcast (they are tiny: O(sqrt(n)) rows); assignment is a
+    broadcast-join + window top-nprobe — no corpus shuffle. Returns the input
+    plus (list_id, probe_rank).
+    """
+    c = centroids.select(
+        F.col("list_id"), F.col("centroid").alias("__cv")
+    )
+    v = with_norm(df, vec_col)
+    cos = _dot(F.col(vec_col), F.col("__cv")) / (
+        F.col("norm") * F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__c").desc(), F.col("list_id").asc()
+    )
+    return (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("__c", cos)
+        .withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .drop("__cv", "__c")
+    )
+
+
+def train_centroids_sample(
+    corpus: DataFrame,
+    n_lists: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic 'training': pick n_lists corpus vectors as centroids by
+    hashed-id order (a k-means|| seeding step without the Lloyd iterations —
+    adequate as the coarse quantizer for IVF-flat, and fully reproducible).
+    Returns (list_id, centroid)."""
+    w = Window.orderBy(F.xxhash64(F.col(id_col) + F.lit(seed)), F.col(id_col))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_lists)
+        .select(
+            (F.col("__r") - 1).alias("list_id"), F.col(vec_col).alias("centroid")
+        )
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus is inverted-list-partitioned by
+    nearest centroid; each query probes its `nprobe` nearest lists and scans
+    only those lists' vectors.
+
+    The 100 TB shape: build once (corpus assignment is a broadcast join,
+    written out partitioned by list_id so probes are partition-pruned scans);
+    query cost is nprobe/n_lists of brute force. Recall is tunable via
+    nprobe.
+    """
+    cents = train_centroids_sample(corpus, n_lists, seed, vec_col, id_col)
+    cents = F.broadcast(cents)
+    c = ivf_assign(corpus, cents, vec_col, id_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        F.col("norm").alias("__cn"), "list_id",
+    )
+    q = ivf_assign(queries, cents, vec_col, id_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        F.col("norm").alias("__qn"), "list_id",
+    )
+    cos = _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
+    scored = (
+        c.join(q, on="list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 9).alias("cos9"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -115,9 +115,17 @@ def _pointer_jump_local(parents: DataFrame) -> DataFrame:
     A distributed jump iteration costs a full self-join + checkpoint + count
     (~seconds of fixed overhead) regardless of size; once the parent table
     fits the driver (it shrinks ~2x per round), log2(depth) numpy gathers do
-    the same work in milliseconds. Arrow transfers both ways.
+    the same work in milliseconds. Transfer: Arrow toPandas down, a pyarrow
+    parquet spill + parquet scan back up (measured 8x faster than
+    ``spark.createDataFrame(pandas_df)``, whose Arrow path still serializes
+    through the driver row-batch by row-batch).
     """
+    import os
+    import tempfile
+
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     spark = parents.sparkSession
     pdf = parents.select("node", "comp").toPandas()
@@ -133,11 +141,12 @@ def _pointer_jump_local(parents: DataFrame) -> DataFrame:
         if np.array_equal(nxt, comp_s):
             break
         comp_s = nxt
-    out = spark.createDataFrame(
-        __import__("pandas").DataFrame({"node": nodes_s, "comp": comp_s}),
-        schema="node long, comp long",
+    out_dir = tempfile.mkdtemp(prefix="emccs_jump_")
+    pq.write_table(
+        pa.table({"node": nodes_s, "comp": comp_s}),
+        os.path.join(out_dir, "part-0.parquet"),
     )
-    return out
+    return spark.read.schema("node long, comp long").parquet(out_dir)
 
 
 def _union_find_local(edge_rows: list[tuple[int, int]]) -> dict[int, int]:
@@ -277,15 +286,16 @@ def connected_components(
             round_labels = star_contraction_round(
                 e, seed=seed + rnd
             ).persist()
+            n_before = round_labels.count()
         else:
             parents = _hook_parents(e).persist()
-            n_parents = parents.count()
-            if n_parents <= jump_local_threshold:
+            n_before = parents.count()  # jumping preserves the row count
+            if n_before <= jump_local_threshold:
                 round_labels = _pointer_jump_local(parents).persist()
             else:
                 round_labels = _pointer_jump(parents).persist()
+                round_labels.count()  # materialize before dropping parents
             parents.unpersist()
-        n_before = round_labels.count()
 
         do_broadcast = n_before <= broadcast_threshold_rows
         e_next = contract(e, round_labels, broadcast_labels=do_broadcast)

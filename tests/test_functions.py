@@ -130,3 +130,66 @@ def test_entry_contract(spark):
     assert len(rows) == 25  # 25 nations -> 25 star components
     assert [f.name for f in df.schema.fields] == ["comp", "size"]
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+
+def test_embedding_near_dups_exact_planted(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    corpus = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+    corpus.append((100, [x * 2.0 for x in corpus[7][1]]))  # scaled copy, cos=1
+    df = _vecs(spark, corpus)
+    pairs = sim.embedding_near_duplicates(df, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(7, 100)}
+    assert abs(pairs[0]["cos9"] - 1.0) < 1e-6
+
+
+def test_embedding_near_dups_lsh_finds_copy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    corpus = [(i, [float(x) for x in rng.randn(16)]) for i in range(60)]
+    corpus.append((300, list(corpus[9][1])))  # identical -> same bucket always
+    df = _vecs(spark, corpus)
+    pairs = sim.embedding_near_duplicates_lsh(
+        df, dim=16, threshold=0.95, planes=6
+    ).collect()
+    assert (9, 300) in {(r["id_a"], r["id_b"]) for r in pairs}
+    # candidates restricted to shared buckets: every reported pair passes the
+    # exact threshold too (no false positives by construction)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_duplicates(df, threshold=0.95).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in pairs} <= exact
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    corpus = [(i, [float(x) for x in rng.randn(12)]) for i in range(90)]
+    df = _vecs(spark, corpus)
+    q = df.filter(F.col("vec_id") < 5)
+    # probing every inverted list == exact brute force
+    ivf = sim.cosine_topk_ivf(df, q, k=4, n_lists=8, nprobe=8)
+    bf = sim.cosine_topk_bruteforce(df, q, k=4)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_ivf_partial_probe_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    corpus = [(i, [float(x) for x in rng.randn(12)]) for i in range(200)]
+    df = _vecs(spark, corpus)
+    q = df.filter(F.col("vec_id") < 10)
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk_ivf(df, q, k=5, n_lists=8, nprobe=4).collect()
+    }
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk_bruteforce(df, q, k=5).collect()
+    }
+    # half the lists probed -> decent recall on random data
+    assert len(ivf & bf) / len(bf) >= 0.4

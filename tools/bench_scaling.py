@@ -1,0 +1,245 @@
+"""Scaling-efficiency evidence: same job, same input, two parallelism levels.
+
+BASELINE.json's north_rule requires >=0.8 throughput scaling efficiency from
+N to 4N executors. No real cluster exists in this sandbox, so (per the
+measurement protocol in BASELINE.md §C) we run the SAME job on the SAME
+parquet input at local[N] and local[4N] — each level in a fresh
+subprocess/JVM with its own spark.local.dir — and report
+
+    efficiency = (T_N / T_4N) / 4
+
+per workload. N=4 by default: this 32-core VM measurably throttles when >16
+cores are busy (a pure-numpy spin test shows ~40% per-task slowdown at 32
+procs vs none at 8), so 4 vs 16 cores is the widest 4x spread the hardware
+can answer honestly; levels are env-overridable (SPARK_GRAFT_SCALING_LEVELS).
+Each workload runs REPS times per level and we report the MIN (the VM also
+has noisy-neighbor steal; min is the standard contention-free estimator).
+
+Workloads mirror the headline metrics: one Boruvka superstep
+(hook -> pointer-jump -> contract), full CC to convergence (rounds +
+edges/sec), and PageRank power iterations.
+
+Usage:
+    python tools/bench_scaling.py            # orchestrate: prepare + both runs
+    python tools/bench_scaling.py worker --cpus 4 --input DIR --out FILE
+
+Results land in BENCH/scaling.json; BENCH/BASELINE.md summarizes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WORK = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/emccs_scaling")
+SCALE = int(os.environ.get("SPARK_GRAFT_SCALING_SCALE", "23"))
+EDGE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALING_EF", "16"))
+SEED = 42
+REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+LEVELS = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16").split(",")
+)
+PR_ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_PR_ITERS", "2"))
+
+
+def _session(cpus: int, tag: str):
+    from em_connected_components_spark.session import get_spark, warmup
+
+    local_dir = os.path.join(WORK, f"sparktmp_{tag}")
+    os.makedirs(local_dir, exist_ok=True)
+    spark = get_spark(
+        app_name=f"emccs-scaling-{tag}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        extra_conf={"spark.local.dir": local_dir},
+    )
+    warmup(spark)
+    return spark
+
+
+# ---------------------------------------------------------------------------
+# prepare: generate the input ONCE, write parquet (identical bytes for both runs)
+# ---------------------------------------------------------------------------
+
+def prepare(edges_dir: str) -> dict:
+    from em_connected_components_spark.operators.normalize import canonicalize
+    from em_connected_components_spark.sources import generators as gen
+
+    spark = _session(24, "prepare")
+    t0 = time.time()
+    raw = gen.rmat(spark, scale=SCALE, edge_factor=EDGE_FACTOR, seed=SEED)
+    canonicalize(raw).repartition(96, "src").write.mode("overwrite").parquet(
+        edges_dir
+    )
+    m = spark.read.parquet(edges_dir).count()
+    info = {
+        "scale": SCALE,
+        "edge_factor": EDGE_FACTOR,
+        "seed": SEED,
+        "edges_canonical": m,
+        "prepare_sec": round(time.time() - t0, 1),
+    }
+    spark.stop()
+    return info
+
+
+# ---------------------------------------------------------------------------
+# worker: one parallelism level, fresh JVM
+# ---------------------------------------------------------------------------
+
+def worker(cpus: int, edges_dir: str, out_path: str) -> None:
+    from pyspark.sql import functions as F
+
+    from em_connected_components_spark.plans.connected_components import (
+        _hook_parents,
+        _pointer_jump_local,
+        connected_components_metrics,
+    )
+    from em_connected_components_spark.operators.joins import contract
+    from em_connected_components_spark.plans.pagerank import pagerank
+
+    spark = _session(cpus, f"local{cpus}")
+    edges = spark.read.parquet(edges_dir).persist()
+    m = edges.count()  # cache fill — input staging, untimed
+    res: dict = {"cpus": cpus, "m": m, "reps": REPS}
+
+    def run_superstep() -> dict:
+        t0 = time.time()
+        parents = _hook_parents(edges).persist()
+        n = parents.count()
+        labels = _pointer_jump_local(parents).persist()
+        labels.count()
+        # no forced broadcast: let AQE pick the join strategy, as it would on
+        # a cluster (4.6M-label broadcast build is fixed driver cost that
+        # would distort the scaling signal)
+        m_next = contract(edges, labels).count()
+        dt = time.time() - t0
+        parents.unpersist()
+        labels.unpersist()
+        return {"wall_sec": round(dt, 2), "edges_per_sec": round(m / dt, 1),
+                "n_nodes": n, "m_next": m_next}
+
+    def run_cc() -> dict:
+        t0 = time.time()
+        lbl, metrics = connected_components_metrics(
+            edges, pre_canonicalized=True
+        )
+        n_comp = lbl.select(F.countDistinct("comp")).collect()[0][0]
+        dt = time.time() - t0
+        return {
+            "wall_sec": round(dt, 2),
+            "edges_per_sec": round(m / dt, 1),
+            "rounds_to_convergence": len(metrics.rounds),
+            "n_components": n_comp,
+            "superstep_edges_per_sec": [
+                round(r["edges_per_sec"], 1)
+                for r in metrics.rounds
+                if "edges_per_sec" in r
+            ],
+        }
+
+    def run_pagerank() -> dict:
+        t0 = time.time()
+        pr = pagerank(edges, max_iters=PR_ITERS, tol=0.0)
+        pr.select(F.sum("rank")).collect()
+        dt = time.time() - t0
+        return {"wall_sec": round(dt, 2),
+                "edges_per_iter_per_sec": round(PR_ITERS * m / dt, 1)}
+
+    for name, fn in (("superstep", run_superstep), ("cc_full", run_cc),
+                     (f"pagerank{PR_ITERS}", run_pagerank)):
+        runs = []
+        for rep in range(REPS):
+            r = fn()
+            runs.append(r)
+            print(f"[worker {cpus}] {name} rep{rep}: {r['wall_sec']}s",
+                  file=sys.stderr, flush=True)
+        best = min(runs, key=lambda r: r["wall_sec"])
+        best["all_wall_sec"] = [r["wall_sec"] for r in runs]
+        res[name] = best
+
+    edges.unpersist()
+    spark.stop()
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=2)
+
+
+# ---------------------------------------------------------------------------
+# orchestrate
+# ---------------------------------------------------------------------------
+
+def orchestrate() -> None:
+    os.makedirs(WORK, exist_ok=True)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    edges_dir = os.path.join(WORK, f"rmat_s{SCALE}_ef{EDGE_FACTOR}")
+
+    if not os.path.exists(os.path.join(edges_dir, "_SUCCESS")):
+        print(f"[scaling] preparing input at {edges_dir}", file=sys.stderr)
+        info = prepare(edges_dir)
+    else:
+        info = {"scale": SCALE, "edge_factor": EDGE_FACTOR, "seed": SEED,
+                "reused": True}
+    print(f"[scaling] input: {info}", file=sys.stderr)
+
+    results = {}
+    for cpus in LEVELS:
+        out = os.path.join(WORK, f"result_local{cpus}.json")
+        print(f"[scaling] run local[{cpus}] ...", file=sys.stderr)
+        t0 = time.time()
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "worker",
+             "--cpus", str(cpus), "--input", edges_dir, "--out", out],
+            check=True, cwd=REPO,
+        )
+        with open(out) as f:
+            results[cpus] = json.load(f)
+        print(f"[scaling] local[{cpus}] done in {time.time()-t0:.0f}s",
+              file=sys.stderr)
+
+    lo, hi = LEVELS
+    factor = hi / lo
+    eff = {}
+    for wl in ("superstep", "cc_full", f"pagerank{PR_ITERS}"):
+        t_lo = results[lo][wl]["wall_sec"]
+        t_hi = results[hi][wl]["wall_sec"]
+        eff[wl] = round((t_lo / t_hi) / factor, 3)
+
+    payload = {
+        "input": info,
+        "levels": {str(k): v for k, v in results.items()},
+        "scaling_efficiency": eff,
+        "protocol": (
+            f"same parquet input, fresh JVM per level, local[{lo}] vs "
+            f"local[{hi}], shuffle_partitions=2*cores, min of {REPS} reps "
+            "per workload (VM has noisy-neighbor steal; >16 busy cores "
+            "throttle ~40%, so 4-vs-16 is the widest honest 4x spread)"
+        ),
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload["scaling_efficiency"]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", nargs="?", default="orchestrate")
+    ap.add_argument("--cpus", type=int, default=4)
+    ap.add_argument("--input", default="")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+    if args.mode == "worker":
+        worker(args.cpus, args.input, args.out)
+    else:
+        orchestrate()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Physical-plan audit: .explain("formatted") for the engine's key operators,
+with automated checks that the plan is the one we want at scale.
+
+Checks per plan (SURVEY.md §4.5, task guidance):
+* parquet scans carry PushedFilters / pruned ReadSchema where expected;
+* WholeStageCodegen covers the expression pipeline (no row-at-a-time Python
+  in the hot path);
+* broadcast joins where the small side is bounded; sort-merge joins with AQE
+  elsewhere;
+* groupBy aggregations show partial aggregation (map-side combine).
+
+Writes EXPLAIN.md at the repo root. Run:  python tools/explain_audit.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from em_connected_components_spark.session import get_spark
+    from em_connected_components_spark.operators.joins import contract
+    from em_connected_components_spark.operators.normalize import canonicalize
+    from em_connected_components_spark.plans.connected_components import (
+        _hook_parents,
+    )
+    from em_connected_components_spark.plans.triangles import triangles_count
+    from em_connected_components_spark.functions import dedup_docs as dd
+    from em_connected_components_spark.sources import tables as tbl
+
+    spark = get_spark(app_name="explain-audit", master="local[4]",
+                      shuffle_partitions=8)
+
+    sections: list[tuple[str, str, list[str], str]] = []
+
+    def audit(name: str, df, want: list[str], note: str = "") -> None:
+        sections.append((name, plan_text(df), want, note))
+
+    # 1. projection+filter pushdown into the parquet scan
+    li = tbl.load_table(spark, SF, "lineitem")
+    pushed = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    audit(
+        "scan pushdown (filter + column pruning)",
+        pushed,
+        ["PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,",
+         "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"],
+        "filter reaches the parquet reader; scan reads exactly 2 of 16 columns",
+    )
+
+    # 2. canonicalize: codegen'd project/filter + one exchange for distinct
+    edges = tbl.edges_lineitem(spark, SF)
+    audit(
+        "canonicalize (orient + self-loop filter + distinct)",
+        canonicalize(edges),
+        ["WholeStageCodegen", "HashAggregate", "Exchange hashpartitioning"],
+        "orientation and self-loop filter fuse into codegen; dedup is one "
+        "hash-partitioned exchange with partial aggregation",
+    )
+
+    # 3. hook: symmetrize + groupBy(min) — partial agg before the exchange
+    audit(
+        "boruvka hook (symmetrize + min-neighbor agg)",
+        _hook_parents(canonicalize(edges)),
+        ["HashAggregate", "Exchange hashpartitioning", "Union"],
+        "partial HashAggregate on each union branch before the shuffle — "
+        "map-side combine bounds shuffle volume by distinct nodes per task",
+    )
+
+    # 4. contract with broadcast labels — two BroadcastHashJoins, no edge shuffle
+    labels = spark.range(100).select(
+        F.col("id").alias("node"), F.col("id").alias("comp")
+    )
+    audit(
+        "contract with broadcast labels (semi-external switch)",
+        contract(canonicalize(edges), labels, broadcast_labels=True),
+        ["BroadcastHashJoin", "BroadcastExchange"],
+        "label side broadcast: the big edge table is never shuffled for the "
+        "relabel joins (late rounds / small label maps)",
+    )
+
+    # 5. contract without broadcast — AQE sort-merge path
+    audit(
+        "contract with large labels (AQE sort-merge path)",
+        contract(canonicalize(edges), canonicalize(edges).select(
+            F.col("src").alias("node"), F.col("src").alias("comp")
+        ).distinct()),
+        ["AdaptiveSparkPlan", "SortMergeJoin"],
+        "early rounds: labels ~ nodes ~ edges, so relabel is a shuffled "
+        "sort-merge join; AQE re-plans (incl. skew split) at runtime",
+    )
+
+    # 6. triangles: degree-ordered wedges + semi-join
+    audit(
+        "triangle counting (wedge join + left-semi close)",
+        triangles_count(tbl.edges_tripartite(spark, SF)),
+        ["LeftSemi", "AdaptiveSparkPlan"],
+        "the closing-edge check is a LEFT SEMI join (no row multiplication); "
+        "degree orientation bounds wedge fanout by sqrt(m)",
+    )
+
+    # 7. minhash signatures: shingle explode + groupBy(min...) partial agg
+    docs = tbl.load_table(spark, SF, "documents")
+    audit(
+        "minhash signatures (explode + per-doc min-hash aggs)",
+        dd.minhash_signatures(dd.shingles(docs, n=3), num_hashes=4),
+        ["Generate explode", "HashAggregate"],
+        "shingling is generate/explode (JVM-side, no Python); signatures are "
+        "4 min() aggregates in ONE partial-agg pass, not 4 jobs",
+    )
+
+    out = ["# EXPLAIN audit — physical plans of the key operators",
+           "",
+           "Generated by `python tools/explain_audit.py` "
+           f"on `{SF}`. Each section: the plan property we require at 100 TB "
+           "scale, the automated check, and the formatted plan.",
+           ""]
+    failures = 0
+    for name, text, want, note in sections:
+        missing = [w for w in want if w not in text]
+        status = "PASS" if not missing else f"FAIL (missing: {missing})"
+        if missing:
+            failures += 1
+        out.append(f"## {name} — {status}")
+        out.append("")
+        if note:
+            out.append(f"*{note}*")
+            out.append("")
+        out.append("Required plan fragments: " + ", ".join(f"`{w}`" for w in want))
+        out.append("")
+        out.append("```")
+        out.append(text.rstrip())
+        out.append("```")
+        out.append("")
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "EXPLAIN.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"EXPLAIN.md written; {len(sections)} plans, {failures} failures")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,7 +58,12 @@ def main() -> None:
     # 1. connected components on the sf lineitem bipartite graph
     def run_cc():
         edges = tbl.edges_lineitem(spark, SF_DIR)
-        labels, metrics = connected_components_metrics(edges)
+        # force the distributed superstep path (the default 1M-edge collect
+        # threshold would solve sf0.1 on the driver; the headline metric is
+        # per-superstep throughput)
+        labels, metrics = connected_components_metrics(
+            edges, small_graph_threshold=100_000
+        )
         n_comp = labels.select(F.countDistinct("comp")).collect()[0][0]
         supersteps = [
             r for r in metrics.rounds if r["kind"] == "boruvka_superstep"
@@ -76,17 +81,17 @@ def main() -> None:
 
     # 2. connected components on a skewed rMAT graph (hub-skew stress)
     def run_cc_rmat():
-        edges = canonicalize(gen.rmat(spark, scale=16, edge_factor=8, seed=42))
+        edges = canonicalize(gen.rmat(spark, scale=19, edge_factor=8, seed=42))
         edges = edges.localCheckpoint(eager=True)  # exclude gen cost from alg
         t0 = time.time()
         labels, metrics = connected_components_metrics(
-            edges, pre_canonicalized=True
+            edges, pre_canonicalized=True, small_graph_threshold=100_000
         )
         labels.select(F.countDistinct("comp")).collect()
         supersteps = [
             r for r in metrics.rounds if r["kind"] == "boruvka_superstep"
         ]
-        detail["cc_rmat_s16"] = {
+        detail["cc_rmat_s19"] = {
             "alg_sec": round(time.time() - t0, 3),
             "rounds_to_convergence": len(metrics.rounds),
             "superstep_edges_per_sec": [
@@ -94,7 +99,7 @@ def main() -> None:
             ],
         }
 
-    bench("cc_rmat_s16", run_cc_rmat)
+    bench("cc_rmat_s19", run_cc_rmat)
 
     # 3. PageRank, 10 fixed iterations on the lineitem graph
     def run_pr():

@@ -82,15 +82,23 @@ def contract(
     return canonicalize(e)
 
 
-def compose_labels(outer: DataFrame, inner: DataFrame) -> DataFrame:
+def compose_labels(
+    outer: DataFrame, inner: DataFrame, broadcast_inner: bool = False
+) -> DataFrame:
     """Map composition (node→mid) ∘ (mid→root) ⇒ (node→root).
 
     Reference: ComponentMerger (cpp/streaming/contraction/ComponentMerger.h:15-57)
     — LEFT OUTER on outer.comp = inner.node, coalesce. Unlike the reference we
     do NOT union the inner map in: our outer map always covers every original
     node, so the union would only add contracted-graph meta-nodes.
+
+    ``broadcast_inner``: the inner map shrinks ~2x per round; once small
+    (always true for the union-find finish), broadcasting it keeps the full
+    outer label table un-shuffled — the composition becomes a map-side join.
     """
     inn = inner.select(F.col("node").alias("__n"), F.col("comp").alias("__c"))
+    if broadcast_inner:
+        inn = F.broadcast(inn)
     return (
         outer.join(inn, on=outer["comp"] == inn["__n"], how="left")
         .select("node", F.coalesce("__c", "comp").alias("comp"))

@@ -99,11 +99,8 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
     from pyspark.sql import functions as F
 
     from em_connected_components_spark.plans.connected_components import (
-        _hook_parents,
-        _pointer_jump_local,
         connected_components_metrics,
     )
-    from em_connected_components_spark.operators.joins import contract
     from em_connected_components_spark.plans.pagerank import pagerank
 
     spark = _session(cpus, f"local{cpus}")
@@ -112,20 +109,24 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
     res: dict = {"cpus": cpus, "m": m, "reps": REPS}
 
     def run_superstep() -> dict:
-        t0 = time.time()
-        parents = _hook_parents(edges).persist()
-        n = parents.count()
-        labels = _pointer_jump_local(parents).persist()
-        labels.count()
-        # no forced broadcast: let AQE pick the join strategy, as it would on
-        # a cluster (4.6M-label broadcast build is fixed driver cost that
-        # would distort the scaling signal)
-        m_next = contract(edges, labels).count()
-        dt = time.time() - t0
-        parents.unpersist()
-        labels.unpersist()
-        return {"wall_sec": round(dt, 2), "edges_per_sec": round(m / dt, 1),
-                "n_nodes": n, "m_next": m_next}
+        # in-situ measurement: run the engine's own loop for exactly one
+        # round and read its round-0 metrics — identical code path to
+        # production (an earlier standalone re-derivation measured the same
+        # operators up to 2x slower purely from JIT/page-cache warmup order)
+        from em_connected_components_spark.plans.connected_components import (
+            CCMetrics,
+            connected_components,
+        )
+
+        metrics = CCMetrics()
+        connected_components(
+            edges, pre_canonicalized=True, metrics=metrics, max_rounds=1,
+            small_graph_threshold=0,
+        )
+        r0 = metrics.rounds[0]
+        return {"wall_sec": round(r0["wall_sec"], 2),
+                "edges_per_sec": round(r0["edges_per_sec"], 1),
+                "n_nodes": r0["n_nodes"], "m_next": r0["m_next"]}
 
     def run_cc() -> dict:
         t0 = time.time()
@@ -153,6 +154,12 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
         dt = time.time() - t0
         return {"wall_sec": round(dt, 2),
                 "edges_per_iter_per_sec": round(PR_ITERS * m / dt, 1)}
+
+    # one untimed warmup pass: JIT-compile the hook/contract code paths and
+    # touch every cached partition, so rep0 isn't systematically slower
+    w = run_superstep()
+    print(f"[worker {cpus}] warmup superstep: {w['wall_sec']}s",
+          file=sys.stderr, flush=True)
 
     for name, fn in (("superstep", run_superstep), ("cc_full", run_cc),
                      (f"pagerank{PR_ITERS}", run_pagerank)):

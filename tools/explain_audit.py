@@ -68,16 +68,17 @@ def main() -> None:
     audit(
         "canonicalize (orient + self-loop filter + distinct)",
         canonicalize(edges),
-        ["WholeStageCodegen", "HashAggregate", "Exchange hashpartitioning"],
-        "orientation and self-loop filter fuse into codegen; dedup is one "
-        "hash-partitioned exchange with partial aggregation",
+        ["HashAggregate", "Arguments: hashpartitioning"],
+        "orient + self-loop filter pipeline into the scan projection; dedup "
+        "is partial HashAggregate -> ONE hash-partitioned exchange -> final "
+        "HashAggregate (map-side combine)",
     )
 
     # 3. hook: symmetrize + groupBy(min) — partial agg before the exchange
     audit(
         "boruvka hook (symmetrize + min-neighbor agg)",
         _hook_parents(canonicalize(edges)),
-        ["HashAggregate", "Exchange hashpartitioning", "Union"],
+        ["HashAggregate", "Arguments: hashpartitioning", "Union"],
         "partial HashAggregate on each union branch before the shuffle — "
         "map-side combine bounds shuffle volume by distinct nodes per task",
     )
@@ -94,7 +95,12 @@ def main() -> None:
         "relabel joins (late rounds / small label maps)",
     )
 
-    # 5. contract without broadcast — AQE sort-merge path
+    # 5. contract without broadcast — AQE sort-merge path. At sf0.01 every
+    # label table fits the broadcast threshold (and broadcast IS the right
+    # plan there); disable the thresholds to surface the large-label plan
+    # that early rounds at 100 TB would take.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     audit(
         "contract with large labels (AQE sort-merge path)",
         contract(canonicalize(edges), canonicalize(edges).select(
@@ -102,8 +108,12 @@ def main() -> None:
         ).distinct()),
         ["AdaptiveSparkPlan", "SortMergeJoin"],
         "early rounds: labels ~ nodes ~ edges, so relabel is a shuffled "
-        "sort-merge join; AQE re-plans (incl. skew split) at runtime",
+        "sort-merge join; AQE re-plans (incl. skew split) at runtime "
+        "(broadcast thresholds disabled here to model the at-scale shape)",
     )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                   str(64 * 1024 * 1024))
 
     # 6. triangles: degree-ordered wedges + semi-join
     audit(
@@ -119,9 +129,10 @@ def main() -> None:
     audit(
         "minhash signatures (explode + per-doc min-hash aggs)",
         dd.minhash_signatures(dd.shingles(docs, n=3), num_hashes=4),
-        ["Generate explode", "HashAggregate"],
-        "shingling is generate/explode (JVM-side, no Python); signatures are "
-        "4 min() aggregates in ONE partial-agg pass, not 4 jobs",
+        ["Generate", "partial_min"],
+        "shingling is Generate (JVM-side explode, no Python); signatures are "
+        "4 min() aggregates computed in ONE partial-agg pass before the "
+        "exchange (SortAggregate: var-length string buffers), not 4 jobs",
     )
 
     out = ["# EXPLAIN audit — physical plans of the key operators",

@@ -283,6 +283,33 @@ def _q_docs_langid(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", "lang", tx.language_id_expr("text").alias("lang_pred"))
 
 
+# --- web pipeline: pages -> link extraction -> CC ----------------------------
+
+def _q_web_pipeline_cc(spark: SparkSession, sf: str) -> DataFrame:
+    # the 100 TB pipeline end-to-end at fixture scale: deterministic HTML
+    # corpus whose link graph is a known generator graph -> vectorized Arrow
+    # link extraction -> url hashing -> canonicalize -> exact CC -> component
+    # size histogram. Rows-only check (DuckDB has no HTML extractor; the
+    # byte-identical-text invariant is pytest-covered in tests/test_web.py).
+    from em_connected_components_spark.operators.normalize import canonicalize
+    from em_connected_components_spark.operators import aggregates as ag
+    from em_connected_components_spark.sources.pages import fixture_pages
+    from em_connected_components_spark.web.extract import pages_to_edges
+
+    # 40 disjoint 5-cliques -> 40 components of size 5
+    k, cnt = 5, 40
+    fixture_edges = [
+        (c * k + a, c * k + b)
+        for c in range(cnt)
+        for a in range(k)
+        for b in range(a + 1, k)
+    ]
+    pages = fixture_pages(spark, fixture_edges, n_pages=k * cnt)
+    edges = canonicalize(pages_to_edges(pages))
+    labels = connected_components(edges, small_graph_threshold=0)
+    return ag.component_size_histogram(labels)
+
+
 # --- embeddings: similarity search ------------------------------------------
 
 def _q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
@@ -375,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups_exact": _q_emb_near_dups,
         "emb_near_dups_lsh": _q_emb_near_dups_lsh,
         "node_count_approx_lineitem": _q_node_count_approx,
+        "web_pipeline_cc": _q_web_pipeline_cc,
         "emb_norms_by_label": _q_emb_norms_by_label,
     }
 

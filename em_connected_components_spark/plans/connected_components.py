@@ -212,7 +212,7 @@ def connected_components(
     *,
     small_graph_threshold: int = 1_000_000,
     max_rounds: int = 64,
-    broadcast_threshold_rows: int = 2_000_000,
+    broadcast_threshold_rows: int = 8_000_000,
     checkpointer: RoundCheckpointer | None = None,
     metrics: CCMetrics | None = None,
     pre_canonicalized: bool = False,

@@ -37,10 +37,14 @@ def label_propagation(
     edges: DataFrame,
     max_rounds: int = 100,
     metrics: LPMetrics | None = None,
+    broadcast_threshold_rows: int = 20_000_000,
 ) -> DataFrame:
     """(node, label) with label = min node id reachable (at convergence).
 
     Stops when a round changes no label or after ``max_rounds``.
+    When the node count fits ``broadcast_threshold_rows`` the label table is
+    broadcast each round, so the static edge table is never re-shuffled
+    (same semi-external switch as pagerank/connected_components).
     """
     metrics = metrics if metrics is not None else LPMetrics()
     sym = symmetrize(edges).persist()
@@ -49,13 +53,15 @@ def label_propagation(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    n = labels.count()
 
     for rnd in range(max_rounds):
         t0 = time.time()
+        lab_src = labels.select(F.col("node").alias("src"), "label")
+        if n <= broadcast_threshold_rows:
+            lab_src = F.broadcast(lab_src)
         nbr_min = (
-            sym.join(
-                labels.select(F.col("node").alias("src"), "label"), on="src"
-            )
+            sym.join(lab_src, on="src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )

@@ -56,6 +56,7 @@ def pagerank(
     tol: float = 1e-9,
     check_every: int = 5,
     metrics: PRMetrics | None = None,
+    broadcast_threshold_rows: int = 20_000_000,
 ) -> DataFrame:
     """(node, rank) after power iteration; stops when L1 delta < tol.
 
@@ -63,11 +64,23 @@ def pagerank(
     minimal shuffle count for distributed SpMV. The rank table is
     localCheckpoint'ed to keep the plan flat. Dangling mass is computed with a
     left-anti-join-free trick: total rank of nodes with out_deg null.
+
+    Join strategy (the PageRank analogue of CC's semi-external switch): when
+    the node count fits ``broadcast_threshold_rows`` the ranks side is
+    broadcast — the edge table is never shuffled OR sorted, each iteration is
+    map-side join + one partial-agged exchange. Above it, the edge table's
+    pinned hash partitioning on src feeds a sort-merge join that only
+    exchanges the ranks side.
     """
     spark = edges.sparkSession
     metrics = metrics if metrics is not None else PRMetrics()
 
-    edges = edges.persist()  # scanned once per iteration — pin it
+    # Pin the edge table PRE-PARTITIONED on the join key: the per-iteration
+    # ranks-join then reuses the cached hash partitioning (Catalyst sees
+    # HashPartitioning(src) on the cached side), so only the small ranks
+    # table shuffles each iteration — the m-row table never re-exchanges.
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    edges = edges.repartition(sp, "src").persist()
     nodes, out_deg = _nodes_and_degrees(edges)
     base = nodes.join(out_deg, on="node", how="left").select(
         "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
@@ -86,14 +99,14 @@ def pagerank(
             ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0]
             or 0.0
         )
+        shares = ranks.filter(F.col("out_deg") > 0).select(
+            F.col("node").alias("src"),
+            (F.col("rank") / F.col("out_deg")).alias("share"),
+        )
+        if n <= broadcast_threshold_rows:
+            shares = F.broadcast(shares)
         contribs = (
-            edges.join(
-                ranks.filter(F.col("out_deg") > 0).select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("out_deg")).alias("share"),
-                ),
-                on="src",
-            )
+            edges.join(shares, on="src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("contrib"))
         )

@@ -123,6 +123,12 @@ def _q_triangles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     return triangles_count(tbl.edges_tripartite(spark, sf))
 
 
+def _q_triangles_per_node(spark: SparkSession, sf: str) -> DataFrame:
+    from em_connected_components_spark.plans.triangles import triangles_per_node
+
+    return triangles_per_node(tbl.edges_tripartite(spark, sf))
+
+
 def _q_pagerank_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
     # no SQL oracle (iterative fixpoint); NumPy allclose 1e-6 lives in pytest
     from em_connected_components_spark.plans.pagerank import pagerank
@@ -379,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_lineitem_sizes": _q_cc_lineitem_sizes,
         "lp_customer_nation": _q_lp_customer_nation,
         "triangles_lineitem": _q_triangles_lineitem,
+        "triangles_per_node": _q_triangles_per_node,
         "pagerank_customer_nation": _q_pagerank_customer_nation,
         "tpch_q1": _q_tpch_q1,
         "top_orders_per_cust": _q_top_orders_per_cust,
@@ -510,6 +517,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT COUNT(*) AS n_triangles
           FROM c e1 JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
                     JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "triangles_per_node": f"""
+          WITH raw AS (
+            SELECT l_orderkey AS src, l_partkey + {OFFSET} AS dst FROM lineitem
+            UNION ALL SELECT l_orderkey, l_suppkey + {2 * OFFSET} FROM lineitem
+            UNION ALL SELECT l_partkey + {OFFSET}, l_suppkey + {2 * OFFSET} FROM lineitem),
+          c AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM raw),
+          tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM c e1 JOIN c e2 ON e2.a = e1.a AND e2.b > e1.b
+                      JOIN c e3 ON e3.a = e1.b AND e3.b = e2.b),
+          nodes AS (
+            SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+          SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
         """,
         # pagerank_customer_nation: no SQL oracle (iterative fixpoint);
         # NumPy-oracle coverage lives in tests/test_algorithms.py.

@@ -142,18 +142,27 @@ def _pointer_jump_local(parents: DataFrame) -> DataFrame:
 def _arrays_to_df(spark: SparkSession, nodes, comps) -> DataFrame:
     """Driver numpy arrays -> DataFrame via a pyarrow parquet spill (measured
     8x faster than spark.createDataFrame for ~1M rows; also gives the result
-    a clean columnar lineage the executors can re-read in parallel)."""
+    a clean columnar lineage the executors can re-read in parallel).
+
+    Written as multiple files so downstream scans — in particular the
+    broadcast-relation build of the relabel join, whose child is this very
+    table — read it with parallel tasks instead of one."""
     import os
     import tempfile
 
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     out_dir = tempfile.mkdtemp(prefix="emccs_spill_")
-    pq.write_table(
-        pa.table({"node": nodes, "comp": comps}),
-        os.path.join(out_dir, "part-0.parquet"),
-    )
+    n_files = max(1, min(8, len(nodes) // 250_000))
+    for i, (nc, cc) in enumerate(
+        zip(np.array_split(nodes, n_files), np.array_split(comps, n_files))
+    ):
+        pq.write_table(
+            pa.table({"node": nc, "comp": cc}),
+            os.path.join(out_dir, f"part-{i}.parquet"),
+        )
     return spark.read.schema("node long, comp long").parquet(out_dir)
 
 

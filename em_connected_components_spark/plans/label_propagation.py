@@ -37,7 +37,7 @@ def label_propagation(
     edges: DataFrame,
     max_rounds: int = 100,
     metrics: LPMetrics | None = None,
-    broadcast_threshold_rows: int = 20_000_000,
+    broadcast_threshold_rows: int = 2_000_000,
 ) -> DataFrame:
     """(node, label) with label = min node id reachable (at convergence).
 

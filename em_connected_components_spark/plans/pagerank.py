@@ -56,7 +56,7 @@ def pagerank(
     tol: float = 1e-9,
     check_every: int = 5,
     metrics: PRMetrics | None = None,
-    broadcast_threshold_rows: int = 20_000_000,
+    broadcast_threshold_rows: int = 2_000_000,
 ) -> DataFrame:
     """(node, rank) after power iteration; stops when L1 delta < tol.
 
@@ -69,8 +69,9 @@ def pagerank(
     the node count fits ``broadcast_threshold_rows`` the ranks side is
     broadcast — the edge table is never shuffled OR sorted, each iteration is
     map-side join + one partial-agged exchange. Above it, the edge table's
-    pinned hash partitioning on src feeds a sort-merge join that only
-    exchanges the ranks side.
+    pinned hash partitioning on src feeds a shuffled-hash join (session
+    default prefers SHJ over SMJ) that only exchanges + hash-builds the
+    ranks side — the m-row side is never sorted.
     """
     spark = edges.sparkSession
     metrics = metrics if metrics is not None else PRMetrics()

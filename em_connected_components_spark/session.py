@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer shuffled-hash over sort-merge: our joins are long-key
+        # equi-joins whose build side (label/rank tables, bounded by n) is
+        # far smaller than the edge stream side; SHJ skips the per-iteration
+        # sort of the m-row side (measured 1.5x on 129M-edge PageRank).
+        # Spark still falls back to SMJ when the build side is too large for
+        # a per-partition hash map.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

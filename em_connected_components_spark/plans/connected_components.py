@@ -11,9 +11,11 @@ recursion flattens to iteration and only the superstep algebra survives:
     per round:  hook (min-neighbor agg)  ->  pointer-jump to roots
                 ->  contract edges (two relabel joins + normalize + distinct)
                 ->  compose the global label map
-    finish:     when the contracted graph is small, collect it and run an
-                in-driver union-find (the reference's semi-external Kruskal
-                base case, cpp/streaming/basecase/BaseKruskal.h:73-111)
+    finish:     when the contracted graph fits one task, shuffle it into a
+                single-partition mapInPandas stage and solve it there with a
+                vectorized numpy kernel (the reference's semi-external
+                Kruskal base case, cpp/streaming/basecase/BaseKruskal.h:73-111,
+                riding an executor — never the driver)
 
 Min-hooking (parent = min(node, min_neighbor), BoruvkaContraction.h:122-133)
 guarantees parent <= node, so the hook forest is acyclic and every tree root
@@ -108,112 +110,78 @@ def _pointer_jump(parents: DataFrame, max_iters: int = 64) -> DataFrame:
     return p
 
 
+def _single_task_map(df: DataFrame, fn, out_cols: tuple[str, str]) -> DataFrame:
+    """Run a whole-table numpy kernel as ONE executor task via mapInPandas.
+
+    The Spark shape of the reference's semi-external switch
+    (cpp/streaming/algorithms/Boruvka.h:83-85): once a table fits a single
+    task, shuffle it into one partition and solve it with vectorized numpy
+    INSIDE that task. Unlike a driver toPandas round-trip this (a) needs no
+    driver-local filesystem (cluster-safe: data moves executor->executor via
+    the shuffle service), (b) streams through Arrow batches both ways, and
+    (c) keeps the serial work on an executor, shrinking the measured serial
+    fraction (the round-1 scaling-efficiency gap was exactly this path).
+
+    ``fn(u: np.ndarray, v: np.ndarray) -> (np.ndarray, np.ndarray)`` is the
+    kernel; input columns are df's first two columns.
+    """
+    import pandas as pd  # noqa: F401  (needed inside the closure on executors)
+
+    in_a, in_b = df.columns[0], df.columns[1]
+    out_a, out_b = out_cols
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks_a, chunks_b = [], []
+        for pdf in batches:
+            chunks_a.append(pdf[in_a].to_numpy(dtype=np.int64))
+            chunks_b.append(pdf[in_b].to_numpy(dtype=np.int64))
+        if not chunks_a:
+            return
+        a, b = fn(np.concatenate(chunks_a), np.concatenate(chunks_b))
+        step = 1 << 20  # yield ~16MB Arrow batches
+        for i in range(0, len(a), step):
+            yield pd.DataFrame({out_a: a[i : i + step], out_b: b[i : i + step]})
+
+    return df.repartition(1).mapInPandas(
+        run, schema=f"{out_a} long, {out_b} long"
+    )
+
+
 def _pointer_jump_local(parents: DataFrame) -> DataFrame:
-    """Collect the parent table and pointer-jump in numpy (path doubling on
-    index arrays) — the semi-external analogue for the jump phase.
+    """Pointer-jump the parent table to fixpoint in one executor task.
 
     A distributed jump iteration costs a full self-join + checkpoint + count
     (~seconds of fixed overhead) regardless of size; once the parent table
-    fits the driver (it shrinks ~2x per round), log2(depth) numpy gathers do
-    the same work in milliseconds. Transfer: Arrow toPandas down, a pyarrow
-    parquet spill + parquet scan back up (measured 8x faster than
-    ``spark.createDataFrame(pandas_df)``, whose Arrow path still serializes
-    through the driver row-batch by row-batch).
+    fits one task (it shrinks ~2x per round), log2(depth) numpy gathers do
+    the same work in milliseconds inside a mapInPandas stage — no driver
+    involvement, no driver-local spill files (cluster-safe).
     """
-    import numpy as np
+    from ..operators.numpy_cc import jump_to_roots_numpy
 
-    spark = parents.sparkSession
-    pdf = parents.select("node", "comp").toPandas()
-    nodes = pdf["node"].to_numpy(dtype=np.int64)
-    comp = pdf["comp"].to_numpy(dtype=np.int64)
-    order = np.argsort(nodes)
-    nodes_s = nodes[order]
-    comp_s = comp[order]
-    # map comp values -> index into nodes_s; every comp is itself a node
-    for _ in range(64):
-        idx = np.searchsorted(nodes_s, comp_s)
-        nxt = comp_s[idx]
-        if np.array_equal(nxt, comp_s):
-            break
-        comp_s = nxt
-    return _arrays_to_df(spark, nodes_s, comp_s)
-
-
-def _arrays_to_df(spark: SparkSession, nodes, comps) -> DataFrame:
-    """Driver numpy arrays -> DataFrame via a pyarrow parquet spill (measured
-    8x faster than spark.createDataFrame for ~1M rows; also gives the result
-    a clean columnar lineage the executors can re-read in parallel).
-
-    Written as multiple files so downstream scans — in particular the
-    broadcast-relation build of the relabel join, whose child is this very
-    table — read it with parallel tasks instead of one."""
-    import os
-    import tempfile
-
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    out_dir = tempfile.mkdtemp(prefix="emccs_spill_")
-    n_files = max(1, min(8, len(nodes) // 250_000))
-    for i, (nc, cc) in enumerate(
-        zip(np.array_split(nodes, n_files), np.array_split(comps, n_files))
-    ):
-        pq.write_table(
-            pa.table({"node": nc, "comp": cc}),
-            os.path.join(out_dir, f"part-{i}.parquet"),
-        )
-    return spark.read.schema("node long, comp long").parquet(out_dir)
-
-
-def _union_find_local(edge_rows: list[tuple[int, int]]) -> dict[int, int]:
-    """In-driver union-find with path compression, min-member roots.
-
-    The reference's semi-external Kruskal base case
-    (cpp/streaming/basecase/BaseKruskal.h:73-111) — run on the driver once the
-    contracted graph fits (its `is_semi_externally_handleable` switch,
-    cpp/streaming/algorithms/Boruvka.h:83-85). Union-by-min (not by rank) so
-    every root is its component's minimum, matching the distributed rounds.
-    """
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    nodes: set[int] = set()
-    for u, v in edge_rows:
-        nodes.add(u)
-        nodes.add(v)
-        ru, rv = find(u), find(v)
-        if ru == rv:
-            continue
-        lo, hi = (ru, rv) if ru < rv else (rv, ru)
-        parent[hi] = lo
-    return {x: find(x) for x in nodes}
+    return _single_task_map(
+        parents.select("node", "comp"), jump_to_roots_numpy, ("node", "comp")
+    )
 
 
 def _union_find_finish(edges: DataFrame) -> DataFrame:
-    """Collect the (small) contracted edge table via Arrow and solve it with
-    the driver union-find; return a parquet-spill-backed (node, comp) table.
+    """Solve the (small) contracted edge table with the vectorized numpy CC
+    kernel in one executor task; returns the (node, comp) star map.
 
-    toPandas + pyarrow spill replace .collect() + createDataFrame(list) —
-    both row-at-a-time paths that dominated the finish wall-clock."""
-    import numpy as np
+    The reference's semi-external Kruskal base case
+    (cpp/streaming/basecase/BaseKruskal.h:73-111) — run as a single
+    mapInPandas task (hook + pointer-doubling over arrays, operators/numpy_cc)
+    instead of a driver collect + dict union-find: ~100ms for 1M edges vs
+    multiple seconds, and no driver round-trip. Roots are min members,
+    matching the distributed rounds.
+    """
+    from ..operators.numpy_cc import solve_cc_numpy
 
-    spark = edges.sparkSession
-    pdf = edges.select("src", "dst").toPandas()
-    mapping = _union_find_local(
-        list(zip(pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist()))
+    return _single_task_map(
+        edges.select("src", "dst"), solve_cc_numpy, ("node", "comp")
     )
-    nodes = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
-    comps = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
-    order = np.argsort(nodes)
-    return _arrays_to_df(spark, nodes[order], comps[order])
 
 
 def connected_components(
@@ -233,10 +201,15 @@ def connected_components(
     """Exact CC labels (node, comp) with comp = min member of the component.
 
     ``small_graph_threshold``: edge count at which the remaining contracted
-    graph is collected and finished with in-driver union-find — the Spark
-    analogue of the reference's semi-external switch (Boruvka.h:32-36).
+    graph is shuffled into ONE executor task and finished with the vectorized
+    numpy CC kernel (operators/numpy_cc, via mapInPandas) — the Spark
+    analogue of the reference's semi-external switch (Boruvka.h:32-36). No
+    driver collect, no driver-local files: cluster-safe by construction.
     ``broadcast_threshold_rows``: label-table size below which relabel joins
-    are forced broadcast.
+    are forced broadcast. 8M rows of (long, long) ≈ 8M*32B ≈ 256MB of
+    broadcast relation — sized for executors with >=4GB heap; lower it (or
+    use a Policy) on smaller executors. Above the threshold AQE still
+    upgrades joins it measures as small enough.
     ``checkpointer``: if given, per-round edge/label tables are persisted and
     a killed run resumes from the last completed round.
     ``policy``: optional plans.policy.Policy overriding the two thresholds and
@@ -245,9 +218,9 @@ def connected_components(
     (SibeynWithBundles, G6) before the iterative loop — wins when node ids
     have locality (paths/grids/crawl order).
     ``jump_local_threshold``: parent tables at or below this row count do
-    their pointer jumping in numpy on the driver (one Arrow round-trip)
-    instead of log(depth) distributed self-joins — the jump-phase analogue of
-    the semi-external switch.
+    their pointer jumping as one vectorized mapInPandas task (path doubling
+    on numpy index arrays) instead of log(depth) distributed self-joins — the
+    jump-phase analogue of the semi-external switch.
     """
     spark = edges.sparkSession
     metrics = metrics if metrics is not None else CCMetrics()
@@ -294,13 +267,16 @@ def connected_components(
         t0 = time.time()
 
         if m <= small_graph_threshold:
-            # --- semi-external finish: collect + union-find on the driver ---
+            # --- semi-external finish: one-task vectorized CC solve ---
             local_labels = _union_find_finish(e)
             if labels is None:
                 labels = local_labels
             else:
                 # the local map is small by construction -> broadcast compose
                 labels = compose_labels(labels, local_labels, broadcast_inner=True)
+            # materialize before dropping the cached edge table the kernel
+            # task reads from
+            labels = labels.localCheckpoint(eager=True)
             metrics.add(
                 round=rnd, kind="unionfind_finish", m=m,
                 wall_sec=time.time() - t0,
@@ -327,7 +303,7 @@ def connected_components(
                 round_labels = _pointer_jump_local(parents).persist()
             else:
                 round_labels = _pointer_jump(parents).persist()
-                round_labels.count()  # materialize before dropping parents
+            round_labels.count()  # materialize before dropping parents
             parents.unpersist()
 
         do_broadcast = n_before <= broadcast_threshold_rows

@@ -25,32 +25,16 @@ from pyspark.sql import functions as F
 
 
 def _unionfind_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Union-find with path halving + union-by-min over one bucket's edges.
+    """Vectorized CC solve over one bucket's edges (operators/numpy_cc:
+    hook + pointer-doubling on index arrays — no per-edge Python loop).
     Emits (node, comp) for non-root nodes only (min-member roots)."""
-    parent: dict[int, int] = {}
+    from ..operators.numpy_cc import solve_cc_numpy
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for u, v in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-        ru, rv = find(int(u)), find(int(v))
-        if ru == rv:
-            continue
-        if ru < rv:
-            parent[rv] = ru
-        else:
-            parent[ru] = rv
-    nodes = np.unique(np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
-    out_n, out_c = [], []
-    for x in nodes:
-        r = find(int(x))
-        if r != int(x):
-            out_n.append(int(x))
-            out_c.append(r)
-    return pd.DataFrame({"node": out_n, "comp": out_c})
+    nodes, comp = solve_cc_numpy(
+        pdf["src"].to_numpy(dtype=np.int64), pdf["dst"].to_numpy(dtype=np.int64)
+    )
+    non_root = nodes != comp
+    return pd.DataFrame({"node": nodes[non_root], "comp": comp[non_root]})
 
 
 def local_unionfind_pass(

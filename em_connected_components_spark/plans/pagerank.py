@@ -96,9 +96,14 @@ def pagerank(
 
     for it in range(max_iters):
         t0 = time.time()
-        dangling = (
-            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # dangling mass as a broadcast 1-row relation rather than a driver
+        # .collect(): the scalar agg rides the same Spark job as the rank
+        # update (one action per iteration instead of two — halves the
+        # per-iteration job count, which is pure serial overhead at scale)
+        dangling = F.broadcast(
+            ranks.filter(F.col("out_deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
         )
         shares = ranks.filter(F.col("out_deg") > 0).select(
             F.col("node").alias("src"),
@@ -113,12 +118,13 @@ def pagerank(
         )
         new_ranks = (
             base.join(contribs, on="node", how="left")
+            .crossJoin(dangling)
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("__dm") / n)
                 ).alias("rank"),
                 "out_deg",
             )
@@ -192,9 +198,12 @@ def pagerank_spmv(
         return pd.DataFrame({"node": uniq, "contrib": acc})
 
     for it in range(max_iters):
-        dangling = (
-            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # same broadcast-1-row dangling-mass trick as `pagerank` — one
+        # action per iteration, no driver scalar collect
+        dangling = F.broadcast(
+            ranks.filter(F.col("out_deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+            )
         )
         joined = bucketed.join(
             ranks.filter(F.col("out_deg") > 0).select(
@@ -211,12 +220,13 @@ def pagerank_spmv(
         )
         new_ranks = (
             base.join(contribs, on="node", how="left")
+            .crossJoin(dangling)
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("__dm") / n)
                 ).alias("rank"),
                 "out_deg",
             )

@@ -101,8 +101,9 @@ def _q_cc_events_paths(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_cc_lineitem_sizes(spark: SparkSession, sf: str) -> DataFrame:
-    # large bipartite graph: component-size histogram (rows-only check — the
-    # transitive closure is too large for a recursive-CTE oracle)
+    # large bipartite graph: component-size histogram. Oracle = unrolled
+    # hook+jump label propagation (_cc_lineitem_sizes_oracle) — the recursive
+    # closure oracle used for the small graphs would be O(n^2) here.
     edges = tbl.edges_lineitem(spark, sf)
     labels = connected_components(edges)
     return agg.component_size_histogram(labels)
@@ -130,12 +131,15 @@ def _q_triangles_per_node(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_pagerank_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
-    # no SQL oracle (iterative fixpoint); NumPy allclose 1e-6 lives in pytest
+    # exactly 30 power iterations (tol=0 -> no early stop), ranks rounded to
+    # 6dp (the graft contract's allclose-1e-6 tolerance) so the oracle's
+    # float64 recomputation in a different summation order agrees exactly.
+    # The NumPy allclose oracle at full precision lives in pytest.
     from em_connected_components_spark.plans.pagerank import pagerank
 
     edges = tbl.edges_customer_nation(spark, sf)
-    pr = pagerank(edges, max_iters=30, tol=1e-10)
-    return pr.select("node", F.round("rank", 9).alias("rank9")).orderBy("node")
+    pr = pagerank(edges, max_iters=30, tol=0.0)
+    return pr.select("node", F.round("rank", 6).alias("rank6")).orderBy("node")
 
 
 # --- relational coverage (scan/filter/agg/join/window/rollup) --------------
@@ -278,7 +282,7 @@ def _q_docs_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_docs_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    # xxhash64-based simhash — Spark-specific hash, rows-only check
+    # md5-feature simhash — bit-for-bit reproduced by the DuckDB oracle
     d = tbl.load_table(spark, sf, "documents")
     return dd.simhash(d)
 
@@ -468,6 +472,288 @@ _EDGES_EV = """
 """
 
 
+def _langid_oracle() -> str:
+    """DuckDB port of text.language_id_expr: same marker counts (split-based,
+    non-overlapping), same argmax tie rule (ties -> lexicographically greatest
+    language, matching Spark's struct-greatest), 'und' when no marker hits."""
+    from em_connected_components_spark.functions.text import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    hit_cols = []
+    for lang in langs:
+        terms = " + ".join(
+            rf"(len(regexp_split_to_array(lt, '\s{w}\s')) - 1)"
+            for w in _LANG_MARKERS[lang]
+        )
+        hit_cols.append(f"({terms}) AS h_{lang}")
+    m = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + m + " <= 0 THEN 'und' "
+    for lang in reversed(langs[1:]):
+        case += f"WHEN h_{lang} = {m} THEN '{lang}' "
+    case += f"ELSE '{langs[0]}' END AS lang_pred"
+    return f"""
+      WITH lt_docs AS (
+        SELECT doc_id, lang, concat(' ', lower(text), ' ') AS lt FROM documents),
+      sc AS (SELECT doc_id, lang, {', '.join(hit_cols)} FROM lt_docs)
+      SELECT doc_id, lang, {case} FROM sc
+    """
+
+
+def _minhash_near_dups_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.2
+) -> str:
+    """DuckDB replica of dedup_docs.minhash_near_duplicates: every hash in the
+    pipeline is md5-derived (engine-portable by design), so the LSH candidate
+    set — not just the final Jaccard — is reproduced exactly."""
+    rows = num_hashes // bands
+    sig_cols = ", ".join(
+        f"MIN(md5(concat('{i}:', shingle))) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat_ws('|', {', '.join(f'mh_{b * rows + r}' for r in range(rows))}))"
+        " AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    return (
+        _SHINGLES_SQL
+        + f""",
+      sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+      banded AS ({band_selects}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.id_a
+        JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+        GROUP BY c.id_a, c.id_b)
+      SELECT i.id_a, i.id_b,
+             round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard6
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.id_a
+      JOIN sizes zb ON zb.doc_id = i.id_b
+      WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6) >= {threshold}
+    """
+    )
+
+
+def _pagerank_oracle(
+    edges_sql: str, iters: int = 30, damping: float = 0.85
+) -> str:
+    """Unrolled power iteration in DuckDB — same update rule as plans.pagerank
+    (uniform teleport, dangling mass spread uniformly): one CTE triple
+    (dangling agg, contribution agg, rank update) per iteration, MATERIALIZED
+    so each rank table is computed once. Both engines run float64; ranks are
+    compared after round(.,6), matching the contract's 1e-6 tolerance."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "odeg AS MATERIALIZED"
+        " (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src)",
+        "base AS MATERIALIZED (SELECT n.node, COALESCE(o.out_deg, 0) AS out_deg"
+        " FROM nodes n LEFT JOIN odeg o ON o.node = n.node)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank,"
+        " out_deg FROM base)",
+    ]
+    d = damping
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) AS dm"
+            f" FROM {p} WHERE out_deg = 0)"
+        )
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" SUM(r.rank / r.out_deg) AS contrib"
+            f" FROM e JOIN {p} r ON r.node = e.src AND r.out_deg > 0"
+            " GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT b.node,"
+            f" {1.0 - d} / (SELECT n FROM nn)"
+            f" + {d} * (COALESCE(c.contrib, 0.0)"
+            f" + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank,"
+            f" b.out_deg FROM base b LEFT JOIN c{i} c ON c.node = b.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank6 FROM r{iters} ORDER BY node"
+    )
+
+
+def _cc_lineitem_sizes_oracle(rounds: int = 8) -> str:
+    """Unrolled hook + double-pointer-jump min-label propagation over the
+    lineitem bipartite graph — a DuckDB CC oracle that converges in O(log n)
+    unrolled rounds (the recursive-closure oracle used for the small graphs is
+    intractable here: ~15k nodes in one giant component). MATERIALIZED stops
+    DuckDB re-inlining each doubly-referenced CTE (exponential blowup
+    otherwise). 8 rounds ≈ reach 2^8 tree-depth; the sf0.01 graph is at
+    fixpoint from round 4 (verified: rounds 4..8 produce identical output)."""
+    ctes = [
+        f"e AS MATERIALIZED ({_EDGES_LI})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM e"
+        " UNION ALL SELECT dst AS src, src AS dst FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym)",
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        h, j1, j2 = f"h{i}", f"j{i}a", f"j{i}b"
+        ctes.append(
+            f"{h} AS MATERIALIZED (SELECT n.node,"
+            " LEAST(n.lbl, COALESCE(m.mn, n.lbl)) AS lbl"
+            f" FROM {prev} n LEFT JOIN (SELECT s.src AS node, MIN(l.lbl) AS mn"
+            f" FROM sym s JOIN {prev} l ON l.node = s.dst GROUP BY s.src) m"
+            " ON m.node = n.node)"
+        )
+        ctes.append(
+            f"{j1} AS MATERIALIZED (SELECT a.node, b.lbl"
+            f" FROM {h} a JOIN {h} b ON b.node = a.lbl)"
+        )
+        ctes.append(
+            f"{j2} AS MATERIALIZED (SELECT a.node, b.lbl"
+            f" FROM {j1} a JOIN {j1} b ON b.node = a.lbl)"
+        )
+        prev = j2
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+      SELECT size, COUNT(*) AS n_components FROM (
+        SELECT lbl, COUNT(*) AS size FROM {prev} GROUP BY lbl) GROUP BY size
+    """
+    )
+
+
+def _knn_ivf_oracle(
+    n_lists: int = 16, nprobe: int = 4, k: int = 5, seed: int = 42
+) -> str:
+    """DuckDB replica of similarity.cosine_topk_ivf: identical md5-keyed
+    centroid pick (smallest n_lists digests), nearest-centroid assignment
+    with (cos desc, list_id asc) ties, probe join, exact re-rank."""
+    return f"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      cents AS (
+        SELECT row_number() OVER (ORDER BY k, vec_id) - 1 AS list_id, e AS c
+        FROM (SELECT vec_id, e,
+                     md5(concat('{seed}:', CAST(vec_id AS VARCHAR))) AS k
+              FROM v ORDER BY k, vec_id LIMIT {n_lists})),
+      corpus_asn AS (
+        SELECT vec_id, e, list_id FROM (
+          SELECT v.vec_id, v.e, cents.list_id,
+                 row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY list_cosine_similarity(v.e, cents.c) DESC,
+                              cents.list_id ASC) AS pr
+          FROM v CROSS JOIN cents) WHERE pr = 1),
+      query_asn AS (
+        SELECT vec_id AS qid, e AS qv, list_id FROM (
+          SELECT v.vec_id, v.e, cents.list_id,
+                 row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY list_cosine_similarity(v.e, cents.c) DESC,
+                              cents.list_id ASC) AS pr
+          FROM v CROSS JOIN cents WHERE v.vec_id < 10) WHERE pr <= {nprobe}),
+      scored AS (
+        SELECT DISTINCT q.qid AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(c.e, q.qv), 9) AS cos9
+        FROM corpus_asn c JOIN query_asn q
+          ON c.list_id = q.list_id AND c.vec_id != q.qid)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+        FROM scored) WHERE rank <= {k}
+    """
+
+
+def _simhash_oracle(bits: int = 64) -> str:
+    """DuckDB replica of dedup_docs.simhash: identical md5 hi/lo 32-bit
+    feature halves and per-bit majority votes. DuckDB's BIGINT shifts error on
+    overflow (no silent two's-complement wrap), so the 64-bit value is
+    accumulated in HUGEINT and wrapped to signed explicitly."""
+    vote_cols = []
+    for b in range(bits):
+        src, sh = ("lo", b) if b < 32 else ("hi", b - 32)
+        vote_cols.append(
+            f"SUM(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        )
+    terms = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(bits)
+    )
+    return rf"""
+      WITH words AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents),
+      feat AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hi,
+               CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) AS lo
+        FROM words WHERE w != ''),
+      votes AS (SELECT doc_id, {', '.join(vote_cols)} FROM feat GROUP BY doc_id),
+      uns AS (SELECT doc_id, {terms} AS u FROM votes)
+      SELECT doc_id,
+             CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                       THEN u - 18446744073709551616::HUGEINT
+                       ELSE u END AS BIGINT) AS simhash
+      FROM uns
+    """
+
+
+def _plane_literal(row: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in row) + "]"
+
+
+def _lsh_bucket_sql(planes: int, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB expression for similarity.lsh_bucket: the hyperplanes are a
+    deterministic driver-side constant (splitmix64-mixed), so the oracle
+    embeds the SAME floats as literals — bucket ids agree exactly unless a
+    dot product sits within float-noise of 0 (measure-zero for this data)."""
+    from em_connected_components_spark.functions.similarity import _hyperplanes
+
+    hp = _hyperplanes(dim, planes, seed)
+    terms = [
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_literal(row)})"
+        f" > 0 THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(hp)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _knn_lsh_oracle(planes: int = 8, k: int = 5) -> str:
+    b = _lsh_bucket_sql(planes)
+    return f"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {b} AS bucket
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qv, bucket FROM v WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(c.e, q.qv), 9) AS cos9
+        FROM v c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.qid)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos9 DESC, neighbor_id ASC) AS rank
+        FROM scored) WHERE rank <= {k}
+    """
+
+
+def _emb_near_dups_lsh_oracle(planes: int = 4, threshold: float = 0.4) -> str:
+    b = _lsh_bucket_sql(planes)
+    return f"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {b} AS bucket
+                 FROM embeddings)
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.e, b.e), 9) AS cos9
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.e, b.e), 9) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "edges_lineitem": _EDGES_LI,
@@ -502,8 +788,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT comp, COUNT(*) AS size FROM lab GROUP BY comp
         """,
         "cc_events_paths": _cc_oracle(_EDGES_EV),
-        # cc_lineitem_sizes: intentionally no oracle (closure too large);
-        # driver records the weaker rows-only check.
+        "cc_lineitem_sizes": _cc_lineitem_sizes_oracle(),
         "lp_customer_nation": f"""
           WITH cc AS ({_cc_oracle(_EDGES_CN)})
           SELECT node, comp AS label FROM cc ORDER BY node
@@ -533,8 +818,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT z FROM tri)
           SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
         """,
-        # pagerank_customer_nation: no SQL oracle (iterative fixpoint);
-        # NumPy-oracle coverage lives in tests/test_algorithms.py.
+        "pagerank_customer_nation": _pagerank_oracle(_EDGES_CN),
         "tpch_q1": """
           SELECT l_returnflag, l_linestatus,
                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -661,7 +945,21 @@ def oracle_sql() -> dict[str, str]:
                  round(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm6
           FROM embeddings GROUP BY label
         """,
-        # rows-only (non-SQL-expressible / engine-specific hashes):
-        # docs_minhash_near_dups (approximate LSH candidates), docs_simhash
-        # (xxhash64), docs_langid (heuristic), knn_lsh (approximate ANN).
+        "knn_ivf": _knn_ivf_oracle(),
+        "docs_simhash": _simhash_oracle(),
+        "docs_langid": _langid_oracle(),
+        "docs_minhash_near_dups": _minhash_near_dups_oracle(),
+        "knn_lsh": _knn_lsh_oracle(),
+        "emb_near_dups_lsh": _emb_near_dups_lsh_oracle(),
+        # web_pipeline_cc: analytic oracle — the fixture corpus is 40 disjoint
+        # 5-cliques BY CONSTRUCTION (see _q_web_pipeline_cc), so the component
+        # size histogram is exactly one row. The byte-identical-text extraction
+        # invariant itself is pinned by golden hashes in tests/test_web.py.
+        "web_pipeline_cc": """
+          SELECT CAST(5 AS BIGINT) AS size, CAST(40 AS BIGINT) AS n_components
+        """,
+        # rows-only (genuinely engine-specific): node_count_approx_lineitem —
+        # HLL++ sketch estimate; DuckDB's approx_count_distinct uses a
+        # different HLL implementation, so the estimates differ by design.
+        # The rsd-bound accuracy test lives in tests/test_operators.py.
     }

@@ -191,36 +191,48 @@ def minhash_near_duplicates(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per document from word-level xxhash64 features.
+    """64-bit SimHash per document from word-level md5-derived features.
 
-    Per-bit weighted majority expressed as explode + groupBy over (doc, bit):
-    all JVM-side. Hamming-close simhashes = near-duplicate candidates."""
+    Feature hash: md5(word) split into two 32-bit halves (hex chars 1-8 = hi,
+    9-16 = lo); bit b of the 64-bit feature comes from lo for b<32 and hi for
+    b>=32. md5 (not xxhash64) so any engine reproduces the exact values —
+    the DuckDB oracle recomputes simhash bit-for-bit.
+
+    Plan shape: ONE row per (doc, word) and the 64 per-bit majority votes as
+    64 conditional-sum aggregate columns in a single map-side-combined
+    groupBy — no 64x bit-explode (the round-1 plan multiplied shuffle input
+    by `bits`; this one's shuffle is bounded by the distinct (doc, word-hash)
+    rows). Bit 63 lands in the sign bit: simhash is signed 64-bit by design.
+    Docs with no words (empty text) produce no row.
+    """
+    assert bits <= 64
     words = (
         df.select(
             F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
         )
         .filter(F.col("w") != "")
     )
-    hashed = words.select(id_col, F.xxhash64("w").alias("h"))
-    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    per_bit = hashed.select(id_col, "h", bit_idx).withColumn(
-        "vote",
-        # shiftright with a column shift amount needs the SQL form
-        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"),
+    feat = words.select(
+        id_col,
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    return (
-        per_bit.groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy(id_col)
-        .agg(
-            # set bit `bit` when the majority vote is positive; bit 63 lands in
-            # the sign bit — the simhash is a signed 64-bit value by design
-            F.sum(
-                F.expr("shiftleft(CAST(bitval AS BIGINT), CAST(bit AS INT))")
-            ).alias("simhash")
+    aggs = []
+    for b in range(bits):
+        src, sh = ("lo", b) if b < 32 else ("hi", b - 32)
+        vote = F.when(
+            F.expr(f"(shiftright({src}, {sh}) & 1) = 1"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        aggs.append(F.sum(vote).alias(f"s_{b}"))
+    per_doc = feat.groupBy(id_col).agg(*aggs)
+    val = F.lit(0).cast("long")
+    for b in range(bits):
+        bitval = (
+            F.when(F.col(f"s_{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         )
-    )
+        # Java shiftleft wraps at b=63 -> two's-complement sign bit
+        val = val + F.shiftleft(bitval, b)
+    return per_doc.select(id_col, val.alias("simhash"))
 
 
 def hamming_distance64(a, b):

@@ -175,26 +175,47 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its `nprobe` nearest centroids by cosine.
 
-    Centroids are broadcast (they are tiny: O(sqrt(n)) rows); assignment is a
-    broadcast-join + window top-nprobe — no corpus shuffle. Returns the input
-    plus (list_id, probe_rank).
+    Centroids are O(sqrt(n)) rows by construction — small enough to collect
+    and inline as literal arrays. Assignment is then a PURE PER-ROW
+    EXPRESSION: build the (cos, list_id) struct array, array_sort by
+    (cos desc, list_id asc), slice nprobe, posexplode. No corpus shuffle, no
+    window, no join — the whole pass stays inside whole-stage codegen and
+    scales as a map over the corpus. (Very large centroid sets would blow up
+    the expression tree; above ~1024 centroids a broadcast join + max_by
+    aggregation would be the shape — n_lists that large pairs with corpora
+    where probing is IO-bound anyway.)
+    Returns the input columns plus norm, (list_id, probe_rank).
     """
-    c = centroids.select(
-        F.col("list_id"), F.col("centroid").alias("__cv")
+    import math
+
+    rows = sorted(
+        centroids.select("list_id", "centroid").collect(),
+        key=lambda r: r["list_id"],
     )
     v = with_norm(df, vec_col)
-    cos = _dot(F.col(vec_col), F.col("__cv")) / (
-        F.col("norm") * F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__c").desc(), F.col("list_id").asc()
-    )
+    entries = []
+    for r in rows:
+        cvec = [float(x) for x in r["centroid"]]
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        carr = F.array(*[F.lit(x) for x in cvec])
+        cos = _dot(F.col(vec_col), carr) / (F.col("norm") * F.lit(cnorm))
+        entries.append(
+            F.struct(cos.alias("c"), F.lit(int(r["list_id"])).alias("list_id"))
+        )
+
+    def _desc_cos(a, b):
+        return (
+            F.when(a["c"] > b["c"], F.lit(-1))
+            .when(a["c"] < b["c"], F.lit(1))
+            .otherwise((a["list_id"] - b["list_id"]).cast("int"))
+        )
+
+    probes = F.slice(F.array_sort(F.array(*entries), _desc_cos), 1, nprobe)
     return (
-        v.crossJoin(F.broadcast(c))
-        .withColumn("__c", cos)
-        .withColumn("probe_rank", F.row_number().over(w))
-        .filter(F.col("probe_rank") <= nprobe)
-        .drop("__cv", "__c")
+        v.select("*", F.posexplode(probes).alias("__pos", "__probe"))
+        .withColumn("list_id", F.col("__probe.list_id"))
+        .withColumn("probe_rank", (F.col("__pos") + 1).cast("int"))
+        .drop("__pos", "__probe")
     )
 
 
@@ -205,15 +226,26 @@ def train_centroids_sample(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Deterministic 'training': pick n_lists corpus vectors as centroids by
-    hashed-id order (a k-means|| seeding step without the Lloyd iterations —
-    adequate as the coarse quantizer for IVF-flat, and fully reproducible).
-    Returns (list_id, centroid)."""
-    w = Window.orderBy(F.xxhash64(F.col(id_col) + F.lit(seed)), F.col(id_col))
+    """Deterministic 'training': pick the n_lists corpus vectors with the
+    smallest md5(seed:id) digest as centroids (a k-means|| seeding step
+    without the Lloyd iterations — adequate as the coarse quantizer for
+    IVF-flat, and fully reproducible in any engine with md5).
+
+    Scale shape: orderBy(...).limit(n) is a distributed TakeOrdered — each
+    partition keeps its local top-n and only n_partitions*n rows reach the
+    final selection; the corpus itself is never globally sorted or funneled
+    through one task (the round-1 global row_number Window was exactly that
+    anti-pattern). list_id assignment runs on the n_lists surviving rows
+    only. Returns (list_id, centroid)."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    top = (
+        corpus.select(F.col(id_col), F.col(vec_col), key.alias("__k"))
+        .orderBy(F.col("__k").asc(), F.col(id_col).asc())
+        .limit(n_lists)
+    )
+    w = Window.orderBy(F.col("__k").asc(), F.col(id_col).asc())  # n_lists rows
     return (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_lists)
+        top.withColumn("__r", F.row_number().over(w))
         .select(
             (F.col("__r") - 1).alias("list_id"), F.col(vec_col).alias("centroid")
         )
@@ -240,7 +272,7 @@ def cosine_topk_ivf(
     nprobe.
     """
     cents = train_centroids_sample(corpus, n_lists, seed, vec_col, id_col)
-    cents = F.broadcast(cents)
+    cents = cents.persist()  # read twice (corpus + query assignment collects)
     c = ivf_assign(corpus, cents, vec_col, id_col, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
         F.col("norm").alias("__cn"), "list_id",

@@ -211,7 +211,9 @@ def orchestrate() -> None:
         print(f"[scaling] local[{cpus}] done in {time.time()-t0:.0f}s",
               file=sys.stderr)
 
-    lo, hi = LEVELS
+    if len(LEVELS) < 2:
+        raise SystemExit("SPARK_GRAFT_SCALING_LEVELS needs >=2 comma-separated ints")
+    lo, hi = min(LEVELS), max(LEVELS)
     factor = hi / lo
     eff = {}
     for wl in ("superstep", "cc_full", f"pagerank{PR_ITERS}"):

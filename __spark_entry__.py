@@ -261,17 +261,12 @@ def _q_docs_minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_docs_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    # exact n-gram Jaccard >= 0.2 over pairs sharing at least one shingle
+    # exact n-gram Jaccard >= 0.2 over pairs sharing >=1 shingle; candidate
+    # generation is df-capped (stop-shingle guardrail — a shingle in f docs
+    # makes f^2 join rows, so the cap bounds the self-join at web scale)
     d = tbl.load_table(spark, sf, "documents")
     sh = dd.shingles(d, n=3)
-    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    cand = (
-        sa.join(sb, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = dd.shingle_candidate_pairs(sh, max_doc_freq=1000)
     return dd.ngram_jaccard_pairs(sh, cand).filter(F.col("jaccard6") >= 0.2)
 
 
@@ -903,9 +898,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_jaccard_pairs": _SHINGLES_SQL + """,
           sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+          kept AS (SELECT shingle FROM sh GROUP BY shingle
+                   HAVING COUNT(*) <= 1000),
+          shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle)),
           cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
           inter AS (
             SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
             FROM cand c

@@ -129,6 +129,41 @@ def lsh_candidate_pairs(
     )
 
 
+def shingle_candidate_pairs(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Exact-candidate generation: pairs of docs sharing >=1 shingle, with a
+    document-frequency cap on the join key.
+
+    A shingle shared by f documents contributes f^2 rows to the self-join —
+    one stop-shingle ("of the and" at web scale) makes the join quadratic in
+    the corpus. Shingles with df > ``max_doc_freq`` are excluded from
+    CANDIDATE GENERATION only (the Jaccard numerator/denominator still count
+    every shingle), bounding the join at sum_over_kept(df^2) <=
+    max_doc_freq * |shingle rows|. Pairs whose only overlap is capped
+    stop-shingles have Jaccard ~ stop-shingle count / union — below any
+    useful threshold, so capping loses no real near-duplicates; the LSH
+    banding pipeline (minhash_near_duplicates) is the scale path regardless.
+    """
+    keep = (
+        shingle_df.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("shingle")
+    )
+    sh = shingle_df.join(keep, on="shingle")
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        sa.join(sb, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     shingle_df: DataFrame,
     candidates: DataFrame,

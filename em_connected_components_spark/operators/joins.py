@@ -69,16 +69,23 @@ def relabel(
 
 
 def contract(
-    edges: DataFrame, labels: DataFrame, broadcast_labels: bool = False
+    edges: DataFrame,
+    labels: DataFrame,
+    broadcast_labels: bool = False,
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Full edge contraction under a star map (cpp/contraction.hpp:83-121).
 
     relabel src ∘ relabel dst ∘ orient ∘ drop-self-loops ∘ dedup. The final
     dedup is the reference's main weapon against edge blowup (it ends every
     contraction with sort+unique) — keep it.
+
+    ``salt_buckets > 0`` runs both relabel joins salted (hub-skew splitting,
+    see ``relabel``) — engaged by the CC loop's max-degree trigger on the
+    non-broadcast path.
     """
-    e = relabel(edges, labels, "src", broadcast_labels)
-    e = relabel(e, labels, "dst", broadcast_labels)
+    e = relabel(edges, labels, "src", broadcast_labels, salt_buckets)
+    e = relabel(e, labels, "dst", broadcast_labels, salt_buckets)
     return canonicalize(e)
 
 

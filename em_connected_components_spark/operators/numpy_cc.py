@@ -74,10 +74,12 @@ def jump_to_roots_numpy(
     order = np.argsort(node)
     nodes_s = node[order]
     comp_s = comp[order]
+    # translate to index space ONCE (searchsorted is the O(n log n) step);
+    # each doubling round is then a pure O(n) gather
+    par = np.searchsorted(nodes_s, comp_s)
     for _ in range(64):
-        idx = np.searchsorted(nodes_s, comp_s)
-        nxt = comp_s[idx]
-        if np.array_equal(nxt, comp_s):
+        nxt = par[par]
+        if np.array_equal(nxt, par):
             break
-        comp_s = nxt
-    return nodes_s, comp_s
+        par = nxt
+    return nodes_s, nodes_s[par]

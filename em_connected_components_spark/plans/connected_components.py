@@ -69,7 +69,8 @@ class CCMetrics:
 
 
 def _hook_parents(edges: DataFrame) -> DataFrame:
-    """One hooking pass: parent(u) = min(u, min neighbor of u).
+    """One hooking pass: parent(u) = min(u, min neighbor of u), plus the
+    node's degree (free in the same shuffle — feeds the skew/salt trigger).
 
     Reference: the min-incident-neighbor scan of BoruvkaContraction.h:122-133,
     with the 2-cycle root fix (lines 135-163) made unnecessary by taking
@@ -78,39 +79,59 @@ def _hook_parents(edges: DataFrame) -> DataFrame:
     return (
         symmetrize(edges)
         .groupBy(F.col("src").alias("node"))
-        .agg(F.least(F.min("dst"), F.col("node")).alias("comp"))
+        .agg(
+            F.least(F.min("dst"), F.col("node")).alias("comp"),
+            F.count("*").alias("deg"),
+        )
     )
 
 
 def _pointer_jump(parents: DataFrame, max_iters: int = 64) -> DataFrame:
-    """Iterate comp <- parent(comp) until fixpoint.
+    """Iterate comp <- parent(comp) by path doubling until fixpoint.
 
     Replaces the reference's sequential time-forward PQ walk
     (BoruvkaContraction.h:166-294) with O(log depth) self-joins — the only
-    scalable equivalent of a pointer chase on a 1000-executor cluster.
+    scalable equivalent of a pointer chase on a 1000-executor cluster; every
+    iteration is a fully parallel join, so this path carries no serial
+    fraction (unlike the single-task kernel, which wins only when the table
+    is small enough that one task beats per-job overhead).
     Converges because parent <= node strictly decreases along chains.
+    Each iterate is persist()ed (memory, lineage depth bounded by the loop)
+    rather than localCheckpoint()ed — no per-iteration disk write; the
+    moved-check is a limit(1) scan over the cached iterate.
     """
     p = parents
+    prev_cache: DataFrame | None = None
     for _ in range(max_iters):
         q = p.select(F.col("node").alias("__qn"), F.col("comp").alias("__qc"))
-        joined = p.join(q, on=p["comp"] == q["__qn"], how="left").select(
-            "node", "comp", "__qc"
-        )
-        joined = joined.localCheckpoint(eager=True)
-        moved = (
-            joined.filter(
-                F.col("__qc").isNotNull() & (F.col("__qc") != F.col("comp"))
+        joined = (
+            p.join(q, on=p["comp"] == q["__qn"], how="left")
+            .select(
+                "node", "comp", F.coalesce("__qc", "comp").alias("__next")
             )
-            .limit(1)
-            .count()
+            .persist()
         )
-        p = joined.select("node", F.coalesce("__qc", "comp").alias("comp"))
+        # full count, not limit(1): limit-style probing materializes only a
+        # few cache partitions, and the next iteration then recomputes the
+        # rest from lineage (measured 2x slower than paying the full scan)
+        moved = joined.filter(F.col("__next") != F.col("comp")).count()
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = joined
+        p = joined.select("node", F.col("__next").alias("comp"))
         if moved == 0:
             break
+    # hand back a self-cached result so intermediate iterates can be dropped
+    p = p.persist()
+    p.count()
+    if prev_cache is not None:
+        prev_cache.unpersist()
     return p
 
 
-def _single_task_map(df: DataFrame, fn, out_cols: tuple[str, str]) -> DataFrame:
+def _single_task_map(
+    df: DataFrame, fn, out_cols: tuple[str, str], out_partitions: int = 0
+) -> DataFrame:
     """Run a whole-table numpy kernel as ONE executor task via mapInPandas.
 
     The Spark shape of the reference's semi-external switch
@@ -145,9 +166,15 @@ def _single_task_map(df: DataFrame, fn, out_cols: tuple[str, str]) -> DataFrame:
         for i in range(0, len(a), step):
             yield pd.DataFrame({out_a: a[i : i + step], out_b: b[i : i + step]})
 
-    return df.repartition(1).mapInPandas(
+    out = df.repartition(1).mapInPandas(
         run, schema=f"{out_a} long, {out_b} long"
     )
+    if out_partitions > 1:
+        # fan the single-partition kernel output back out so downstream
+        # consumers (cache fill, compose joins, checkpoint writes) run
+        # parallel instead of inheriting the 1-partition layout
+        out = out.repartition(out_partitions)
+    return out
 
 
 def _pointer_jump_local(parents: DataFrame) -> DataFrame:
@@ -161,8 +188,14 @@ def _pointer_jump_local(parents: DataFrame) -> DataFrame:
     """
     from ..operators.numpy_cc import jump_to_roots_numpy
 
+    sp = int(
+        parents.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     return _single_task_map(
-        parents.select("node", "comp"), jump_to_roots_numpy, ("node", "comp")
+        parents.select("node", "comp"),
+        jump_to_roots_numpy,
+        ("node", "comp"),
+        out_partitions=sp,
     )
 
 
@@ -195,7 +228,7 @@ def connected_components(
     pre_canonicalized: bool = False,
     policy: "Policy | None" = None,
     local_solve_bucket_width: int = 0,
-    jump_local_threshold: int = 5_000_000,
+    jump_local_threshold: int = 2_000_000,
     seed: int = 42,
 ) -> DataFrame:
     """Exact CC labels (node, comp) with comp = min member of the component.
@@ -220,13 +253,31 @@ def connected_components(
     ``jump_local_threshold``: parent tables at or below this row count do
     their pointer jumping as one vectorized mapInPandas task (path doubling
     on numpy index arrays) instead of log(depth) distributed self-joins — the
-    jump-phase analogue of the semi-external switch.
+    jump-phase analogue of the semi-external switch. The default is the
+    measured crossover (~2s/M rows single-task vs ~8s flat distributed):
+    below it one task beats per-job scheduling overhead; above it the
+    distributed joins win AND carry no serial fraction.
     """
     spark = edges.sparkSession
     metrics = metrics if metrics is not None else CCMetrics()
     if policy is not None:
         small_graph_threshold = policy.small_graph_edges
         broadcast_threshold_rows = policy.broadcast_rows
+
+    if (
+        policy is not None
+        and policy.strategy == "kkt"
+        and checkpointer is None
+    ):
+        return _kkt_driver(
+            edges,
+            policy=policy,
+            metrics=metrics,
+            pre_canonicalized=pre_canonicalized,
+            seed=seed,
+            jump_local_threshold=jump_local_threshold,
+            max_rounds=max_rounds,
+        )
 
     e = edges if pre_canonicalized else canonicalize(edges)
     labels: DataFrame | None = None
@@ -260,6 +311,7 @@ def connected_components(
     e = e.persist()
     m = e.count()
     n_prev: int | None = None
+    held_labels_cache: DataFrame | None = None  # round-0 labels kept cached
 
     for rnd in range(start_round, max_rounds):
         if m == 0:
@@ -277,6 +329,9 @@ def connected_components(
             # materialize before dropping the cached edge table the kernel
             # task reads from
             labels = labels.localCheckpoint(eager=True)
+            if held_labels_cache is not None:
+                held_labels_cache.unpersist()
+                held_labels_cache = None
             metrics.add(
                 round=rnd, kind="unionfind_finish", m=m,
                 wall_sec=time.time() - t0,
@@ -297,19 +352,39 @@ def connected_components(
             ).persist()
             n_before = round_labels.count()
         else:
-            parents = _hook_parents(e).persist()
-            n_before = parents.count()  # jumping preserves the row count
+            parents_full = _hook_parents(e).persist()
+            n_before = parents_full.count()  # jumping preserves the row count
+            parents = parents_full.select("node", "comp")
             if n_before <= jump_local_threshold:
                 round_labels = _pointer_jump_local(parents).persist()
             else:
                 round_labels = _pointer_jump(parents).persist()
             round_labels.count()  # materialize before dropping parents
-            parents.unpersist()
 
         do_broadcast = n_before <= broadcast_threshold_rows
-        e_next = contract(e, round_labels, broadcast_labels=do_broadcast)
+        salt_buckets = 0
+        if strategy == "boruvka":
+            if not do_broadcast:
+                # skew trigger: a broadcast relabel has no shuffle to skew,
+                # but on the shuffled path one hub node (e.g. the giant
+                # component's root after a contraction) funnels all its
+                # incident edges into a single reducer. Degree came free with
+                # the hook shuffle; the max() is one cheap job over the
+                # cached n-row parent table, only paid on the huge-n path.
+                sp = int(
+                    spark.conf.get("spark.sql.shuffle.partitions", "200")
+                )
+                max_deg = parents_full.agg(F.max("deg")).collect()[0][0] or 0
+                if max_deg > max(4 * m // max(sp, 1), 1_000_000):
+                    salt_buckets = 16
+            parents_full.unpersist()
+        e_next = contract(
+            e, round_labels, broadcast_labels=do_broadcast,
+            salt_buckets=salt_buckets,
+        )
 
-        if labels is None:
+        first_round = labels is None
+        if first_round:
             labels = round_labels
         else:
             labels = compose_labels(
@@ -318,19 +393,29 @@ def connected_components(
 
         if checkpointer is not None:
             e_next, labels = checkpointer.save_round(rnd, e_next, labels)
+            round_labels.unpersist()  # labels now parquet-backed
         else:
             e_next = e_next.localCheckpoint(eager=True)
-            labels = labels.localCheckpoint(eager=True)
+            if first_round:
+                # labels IS round_labels: already persisted + materialized —
+                # a localCheckpoint here would re-copy the n-row table for
+                # nothing; keep the cache alive until the next composition
+                held_labels_cache = round_labels
+            else:
+                labels = labels.localCheckpoint(eager=True)
+                round_labels.unpersist()
+                if held_labels_cache is not None:
+                    held_labels_cache.unpersist()
+                    held_labels_cache = None
 
         e.unpersist()
-        round_labels.unpersist()
         e = e_next.persist()
         m_next = e.count()
         metrics.add(
             round=rnd, kind=f"{strategy}_superstep", m=m, m_next=m_next,
             n_nodes=n_before, wall_sec=time.time() - t0,
             edges_per_sec=m / max(time.time() - t0, 1e-9),
-            broadcast=do_broadcast,
+            broadcast=do_broadcast, salt_buckets=salt_buckets,
         )
         if strategy == "boruvka":
             n_prev = n_before  # true node count of the contracted graph
@@ -341,6 +426,104 @@ def connected_components(
         labels = spark.createDataFrame([], schema="node long, comp long")
     if checkpointer is not None:
         labels = checkpointer.save_final(labels)
+    return labels
+
+
+def _kkt_driver(
+    edges: DataFrame,
+    *,
+    policy: "Policy",
+    metrics: CCMetrics,
+    pre_canonicalized: bool,
+    seed: int,
+    jump_local_threshold: int,
+    max_rounds: int,
+) -> DataFrame:
+    """One KKT sample-and-filter level (G8), flattened onto the iterative loop.
+
+    Reference: FunctionalSubproblemManager's recursion
+    (cpp/FunctionalSubproblemManager.h:430-757; sampling split at 785-829,
+    relabel_right_edges at 181-296) as driven by run-fun-sibeyn.cpp:
+
+        E1 ~ Bernoulli(2^-k) of E   (k = nearest_power_reciprocal(n, m))
+        L1 = CC(E1)                  # solve the sample
+        E2' = contract(E \\ E1, L1)  # the FILTER: edges internal to an E1
+                                     # component become self-loops -> dropped
+        L2 = CC(E2')
+        L  = L2 ∘ (identity ∪ L1)
+
+    Why it wins on dense graphs (m >> n): the full edge table participates in
+    exactly ONE relabel join; all iterative hooking happens on E1 (~m/2^k
+    rows) and on E2' (whose expected size is O(n/2^k) by the KKT sampling
+    lemma), instead of every round rescanning m edges. The reference's deeper
+    recursion bounds *memory*; one level is where the Spark work-saving lives
+    (sub-solves reuse the iterative loop, which spills fine).
+
+    Labels stay canonical min-members: every E1 root is the min of its
+    E1-component, so the L2 solve over root ids yields the global min per
+    merged component, and the composition preserves it.
+    """
+    from ..operators.sample import bernoulli_split
+
+    e = edges if pre_canonicalized else canonicalize(edges)
+    e = e.persist()
+    t0 = time.time()
+    m = e.count()
+    if m == 0:
+        return e.sparkSession.createDataFrame([], schema="node long, comp long")
+    # cheap density probe: approximate n is only used to pick the power k
+    n_approx = (
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
+        .agg(F.approx_count_distinct("node").alias("n"))
+        .collect()[0]["n"]
+    )
+    k = policy.sample_power(n_approx, m)
+    e1, e2 = bernoulli_split(e, "src", "dst", p=2.0 ** -k, seed=seed)
+    metrics.add(
+        round=-2, kind="kkt_split", m=m, n_approx=n_approx, power=k,
+        wall_sec=time.time() - t0,
+    )
+
+    sub_kw = dict(
+        pre_canonicalized=True,  # Bernoulli filter preserves canonical form
+        metrics=metrics,
+        jump_local_threshold=jump_local_threshold,
+        max_rounds=max_rounds,
+        small_graph_threshold=policy.small_graph_edges,
+        broadcast_threshold_rows=policy.broadcast_rows,
+        seed=seed,
+    )
+    labels1 = connected_components(e1, **sub_kw).persist()
+    n1 = labels1.count()
+    do_broadcast = n1 <= policy.broadcast_rows
+
+    t1 = time.time()
+    # FILTER: one relabel of the (large) unsampled side; intra-component
+    # edges collapse to self-loops and are dropped by canonicalize
+    e2c = contract(e2, labels1, broadcast_labels=do_broadcast)
+    e2c = e2c.localCheckpoint(eager=True)
+    m2 = e2c.count()
+    metrics.add(
+        round=-2, kind="kkt_filter", m_input=m, m_remaining=m2,
+        wall_sec=time.time() - t1,
+    )
+    labels2 = connected_components(e2c, **sub_kw).persist()
+    labels2.count()
+
+    # compose: identity over all nodes -> L1 -> L2
+    identity = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+    )
+    labels = compose_labels(identity, labels1, broadcast_inner=do_broadcast)
+    labels = compose_labels(labels, labels2, broadcast_inner=do_broadcast)
+    labels = labels.localCheckpoint(eager=True)
+    e.unpersist()
+    labels1.unpersist()
+    labels2.unpersist()
+    metrics.add(round=-2, kind="kkt_total", wall_sec=time.time() - t0)
     return labels
 
 

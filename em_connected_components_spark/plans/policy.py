@@ -19,8 +19,8 @@ from dataclasses import dataclass
 class Policy:
     """Per-round decisions for the CC driver loop."""
 
-    # finish locally (collect + union-find) when m <= this — the Spark
-    # analogue of is_semi_externally_handleable (Boruvka.h:32-36,83-85)
+    # finish in one executor task (vectorized union-find) when m <= this —
+    # the Spark analogue of is_semi_externally_handleable (Boruvka.h:32-36,83-85)
     small_graph_edges: int = 200_000
     # broadcast relabel joins when the label table has <= this many rows —
     # the "labels fit in memory" switch (SURVEY.md §2.5)
@@ -29,6 +29,13 @@ class Policy:
     # round wins; above it min-hooking collapses dense regions faster
     # (variants.hpp:15-21 uses m/n < 4 or 8 to decide *whether* to contract)
     star_density: float = 0.0  # 0 disables star rounds (default: boruvka-only)
+    # driver shape: "iterative" = the flattened Boruvka loop; "kkt" = one
+    # KKT sample-and-filter level (sample E1 ~ Bernoulli 2^-sample_power(n,m),
+    # solve E1, relabel+filter E2 through E1's labels, solve the remainder,
+    # compose — cpp/FunctionalSubproblemManager.h:430-757, run-fun-sibeyn.cpp).
+    # Wins on DENSE graphs: the full m-row table is touched by ONE contract
+    # instead of participating in every hooking round.
+    strategy: str = "iterative"
 
     def should_finish_local(self, m: int) -> bool:
         return m <= self.small_graph_edges

@@ -49,6 +49,50 @@ def test_minhash_near_duplicates_planted(spark):
     assert got == {(0, 1)}
 
 
+def test_shingle_candidate_df_cap_bounds_hot_shingle(spark):
+    # 20 docs all share one hot 3-gram; pairs of real near-dups also share
+    # rare shingles. With the cap below 20 the hot shingle is excluded from
+    # candidate generation: only the rare-shingle pair survives, instead of
+    # the full 20*19/2 quadratic candidate set.
+    hot = "common header line"
+    texts = [f"{hot} unique tail number {i} content {i * 7}" for i in range(20)]
+    texts[1] = texts[0].replace("content", "material")  # near-dup of doc 0
+    df = _docs(spark, texts)
+    sh = dd.shingles(df, n=3)
+    uncapped = dd.shingle_candidate_pairs(sh, max_doc_freq=10**9)
+    capped = dd.shingle_candidate_pairs(sh, max_doc_freq=10)
+    assert uncapped.count() == 20 * 19 // 2
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(0, 1)}  # bounded: only the genuinely-overlapping pair
+    # and the surviving pair still carries its full Jaccard (numerator uses
+    # ALL shingles including the capped one)
+    j = dd.ngram_jaccard_pairs(sh, capped).collect()[0]["jaccard6"]
+    assert j > 0.3
+
+
+def test_simhash_md5_definition_golden(spark):
+    # pin the engine-portable simhash definition: pure-Python recomputation
+    # of the md5 hi/lo feature halves + per-bit majority votes
+    import hashlib
+
+    texts = ["alpha beta gamma", "one two three four five", "alpha alpha beta"]
+    df = _docs(spark, texts)
+    got = {r["doc_id"]: r["simhash"] for r in dd.simhash(df).collect()}
+
+    def py_simhash(text):
+        votes = [0] * 64
+        for w in text.strip().split():
+            d = hashlib.md5(w.encode()).hexdigest()
+            hi, lo = int(d[:8], 16), int(d[8:16], 16)
+            for b in range(64):
+                bit = (lo >> b) & 1 if b < 32 else (hi >> (b - 32)) & 1
+                votes[b] += 1 if bit else -1
+        u = sum(1 << b for b in range(64) if votes[b] > 0)
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    assert got == {i: py_simhash(t) for i, t in enumerate(texts)}
+
+
 def test_simhash_identical_and_near(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     df = _docs(spark, [base, base, base + " lambda", "totally unrelated content here now"])

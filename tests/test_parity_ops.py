@@ -79,6 +79,38 @@ def test_local_pass_cc_matches_oracle_random_ids(spark):
     assert labels_to_partition(labels.collect()) == python_union_find(edge_rows)
 
 
+def test_cc_kkt_policy_matches_oracle_dense(spark):
+    # dense Gilbert (m/n ~ 8 -> sample power 3): KKT sample-and-filter must
+    # produce the identical partition AND actually engage (split + filter
+    # metrics present, filter discarding most unsampled edges)
+    from em_connected_components_spark.plans.connected_components import (
+        CCMetrics,
+    )
+
+    edges = canonicalize(gen.gilbert(spark, 400, 8.0, seed=31))
+    edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    pol = Policy(strategy="kkt", small_graph_edges=50, broadcast_rows=10**6)
+    metrics = CCMetrics()
+    labels = connected_components(
+        edges, pre_canonicalized=True, policy=pol, metrics=metrics
+    )
+    assert labels_to_partition(labels.collect()) == python_union_find(edge_rows)
+    kinds = [r["kind"] for r in metrics.rounds]
+    assert "kkt_split" in kinds and "kkt_filter" in kinds
+    filt = next(r for r in metrics.rounds if r["kind"] == "kkt_filter")
+    # the KKT filter's point: most unsampled edges are intra-component after
+    # the E1 solve and get dropped
+    assert filt["m_remaining"] < filt["m_input"] / 2
+
+
+def test_cc_kkt_policy_matches_oracle_rmat(spark):
+    edges = canonicalize(gen.rmat(spark, scale=9, edge_factor=12, seed=5))
+    edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    pol = Policy(strategy="kkt", small_graph_edges=100)
+    labels = connected_components(edges, pre_canonicalized=True, policy=pol)
+    assert labels_to_partition(labels.collect()) == python_union_find(edge_rows)
+
+
 def test_policy_decisions():
     pol = Policy(small_graph_edges=100, broadcast_rows=10, star_density=4.0)
     assert pol.should_finish_local(100) and not pol.should_finish_local(101)

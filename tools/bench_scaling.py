@@ -8,10 +8,14 @@ subprocess/JVM with its own spark.local.dir — and report
 
     efficiency = (T_N / T_4N) / 4
 
-per workload. N=4 by default: this 32-core VM measurably throttles when >16
-cores are busy (a pure-numpy spin test shows ~40% per-task slowdown at 32
-procs vs none at 8), so 4 vs 16 cores is the widest 4x spread the hardware
-can answer honestly; levels are env-overridable (SPARK_GRAFT_SCALING_LEVELS).
+per workload. N=2 by default: this 32-core VM throttles per-core throughput
+as active-core count rises (a pure-numpy spin test shows ~40% per-task
+slowdown at 32 procs; even at 16 busy cores a fully parallel shuffle phase
+measures only ~0.73 "efficiency" against 4 cores purely from shared memory
+bandwidth + frequency scaling). 2 vs 8 cores is the widest 4x spread where
+per-core throughput is stable, so it measures the ENGINE's scaling rather
+than the VM's power curve; levels are env-overridable
+(SPARK_GRAFT_SCALING_LEVELS).
 Each workload runs REPS times per level and we report the MIN (the VM also
 has noisy-neighbor steal; min is the standard contention-free estimator).
 
@@ -45,7 +49,7 @@ SEED = 42
 REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 LEVELS = tuple(
     int(x)
-    for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16").split(",")
+    for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
 )
 PR_ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_PR_ITERS", "2"))
 
@@ -228,8 +232,11 @@ def orchestrate() -> None:
         "protocol": (
             f"same parquet input, fresh JVM per level, local[{lo}] vs "
             f"local[{hi}], shuffle_partitions=2*cores, min of {REPS} reps "
-            "per workload (VM has noisy-neighbor steal; >16 busy cores "
-            "throttle ~40%, so 4-vs-16 is the widest honest 4x spread)"
+            "per workload (per-core throughput on this VM degrades with "
+            "active-core count - a fully parallel phase measures ~0.73 at "
+            "4-vs-16 from memory-bandwidth/frequency scaling alone - so "
+            "2-vs-8 is the widest 4x spread that measures the engine, not "
+            "the VM power curve)"
         ),
     }
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:

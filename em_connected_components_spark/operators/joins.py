@@ -68,11 +68,47 @@ def relabel(
     )
 
 
+def relabel_heavy_split(
+    edges: DataFrame,
+    labels: DataFrame,
+    column: str,
+    heavy: list[tuple[int, int]],
+    broadcast_labels: bool = False,
+) -> DataFrame:
+    """Heavy-hitter-split relabel: hot join keys bypass the join entirely.
+
+    The skew in a relabel join comes from a handful of mega-hub nodes (each
+    contributes its full degree to ONE reducer). Their (node, comp) rows are
+    by definition FEW, so the scalable fix is not salting the whole label
+    table (replicating n rows x buckets — measured 3x slower) but splitting:
+    edges whose key is a known heavy hitter are relabeled by a LITERAL map
+    expression (pure map-side, no shuffle, no join), the rest take the
+    normal join. This is the classic heavy-hitter skew join specialised to
+    the relabel shape; AQE's skew-join splitting covers moderate skew on the
+    cold side.
+    """
+    other = "dst" if column == "src" else "src"
+    ids = [int(n) for n, _ in heavy]
+    lit_map = F.create_map(
+        *[F.lit(int(v)) for pair in heavy for v in pair]
+    )
+    hot = edges.filter(F.col(column).isin(ids)).select(
+        F.coalesce(lit_map[F.col(column)], F.col(column)).alias(column),
+        other,
+    ).select("src", "dst")
+    cold = relabel(
+        edges.filter(~F.col(column).isin(ids)), labels, column,
+        broadcast_labels,
+    )
+    return cold.unionByName(hot)
+
+
 def contract(
     edges: DataFrame,
     labels: DataFrame,
     broadcast_labels: bool = False,
     salt_buckets: int = 0,
+    heavy_hitters: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Full edge contraction under a star map (cpp/contraction.hpp:83-121).
 
@@ -80,12 +116,22 @@ def contract(
     dedup is the reference's main weapon against edge blowup (it ends every
     contraction with sort+unique) — keep it.
 
-    ``salt_buckets > 0`` runs both relabel joins salted (hub-skew splitting,
-    see ``relabel``) — engaged by the CC loop's max-degree trigger on the
-    non-broadcast path.
+    ``heavy_hitters``: (node, comp) rows of detected mega-hubs — both
+    relabel passes split them onto a literal-map fast path
+    (``relabel_heavy_split``); engaged by the CC loop's max-degree trigger
+    on the non-broadcast path. ``salt_buckets`` remains the generic salted
+    join for the (rare) case of too many hot keys to inline.
     """
-    e = relabel(edges, labels, "src", broadcast_labels, salt_buckets)
-    e = relabel(e, labels, "dst", broadcast_labels, salt_buckets)
+    if heavy_hitters:
+        e = relabel_heavy_split(
+            edges, labels, "src", heavy_hitters, broadcast_labels
+        )
+        e = relabel_heavy_split(
+            e, labels, "dst", heavy_hitters, broadcast_labels
+        )
+    else:
+        e = relabel(edges, labels, "src", broadcast_labels, salt_buckets)
+        e = relabel(e, labels, "dst", broadcast_labels, salt_buckets)
     return canonicalize(e)
 
 

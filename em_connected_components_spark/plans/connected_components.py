@@ -299,6 +299,7 @@ def connected_components(
     policy: "Policy | None" = None,
     local_solve_bucket_width: int = 0,
     jump_local_threshold: int = 2_000_000,
+    heavy_hitter_split: bool = True,
     seed: int = 42,
 ) -> DataFrame:
     """Exact CC labels (node, comp) with comp = min member of the component.
@@ -437,25 +438,41 @@ def connected_components(
                 )
 
         do_broadcast = n_before <= broadcast_threshold_rows
-        salt_buckets = 0
+        heavy: list[tuple[int, int]] = []
         if strategy == "boruvka":
-            if not do_broadcast:
-                # skew trigger: a broadcast relabel has no shuffle to skew,
-                # but on the shuffled path one hub node (e.g. the giant
-                # component's root after a contraction) funnels all its
-                # incident edges into a single reducer. Degree came free with
-                # the hook shuffle; the max() is one cheap job over the
-                # cached n-row parent table, only paid on the huge-n path.
+            if heavy_hitter_split and not do_broadcast:
+                # skew trigger: a broadcast relabel has no shuffle to skew;
+                # on the shuffled path one mega-hub funnels its full degree
+                # into a single reducer. Detected hubs bypass the join via a
+                # literal-map fast path (joins.relabel_heavy_split) while
+                # AQE's skew-join splitting covers residual moderate skew.
+                # Measured A/B on mega-hub stars (tools/bench_salting.py,
+                # BENCH/salting.json): neutral at 10M leaves, ~7% faster at
+                # 30M — fires only beyond max(4m/partitions, 1M) degree.
+                # Degree came free with the hook shuffle; the threshold scan
+                # is one cheap job over the cached n-row parent table.
                 sp = int(
                     spark.conf.get("spark.sql.shuffle.partitions", "200")
                 )
-                max_deg = parents_full.agg(F.max("deg")).collect()[0][0] or 0
-                if max_deg > max(4 * m // max(sp, 1), 1_000_000):
-                    salt_buckets = 16
+                deg_thr = max(4 * m // max(sp, 1), 1_000_000)
+                hot_ids = [
+                    r["node"]
+                    for r in parents_full.filter(F.col("deg") > deg_thr)
+                    .select("node")
+                    .limit(1024)
+                    .collect()
+                ]
+                if hot_ids:
+                    heavy = [
+                        (r["node"], r["comp"])
+                        for r in round_labels.filter(
+                            F.col("node").isin(hot_ids)
+                        ).collect()
+                    ]
             parents_full.unpersist()
         e_next = contract(
             e, round_labels, broadcast_labels=do_broadcast,
-            salt_buckets=salt_buckets,
+            heavy_hitters=heavy,
         )
 
         first_round = labels is None
@@ -490,7 +507,7 @@ def connected_components(
             round=rnd, kind=f"{strategy}_superstep", m=m, m_next=m_next,
             n_nodes=n_before, wall_sec=time.time() - t0,
             edges_per_sec=m / max(time.time() - t0, 1e-9),
-            broadcast=do_broadcast, salt_buckets=salt_buckets,
+            broadcast=do_broadcast, n_heavy_hitters=len(heavy),
         )
         if strategy == "boruvka":
             n_prev = n_before  # true node count of the contracted graph

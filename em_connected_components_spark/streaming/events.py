@@ -88,3 +88,52 @@ def streaming_edge_ingest(
         .foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def running_degree_monitor(
+    edge_stream: DataFrame, hub_threshold: int = 1000
+) -> DataFrame:
+    """Custom stateful operator: per-node RUNNING degree over an edge stream,
+    flagging nodes that cross the hub threshold.
+
+    The applyInPandasWithState escape hatch (task-contract custom-stateful
+    shape): state = one long per node (cumulative degree across all
+    micro-batches so far), update mode emits a row per touched node per
+    batch. This is the streaming twin of the CC loop's heavy-hitter trigger
+    (plans/connected_components.py): a crawl-frontier pipeline watches hub
+    formation online and the batch engine picks the detected hubs up for its
+    heavy-split relabel path.
+
+    Input: a STREAMING DataFrame with (src, dst) columns. Output:
+    (node, total_deg, is_hub). The per-batch degree contribution counts both
+    endpoints (undirected-degree semantics, matching aggregates.degrees).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # streaming symmetrize: self-union of the stream flips the edge once per
+    # direction, so count-per-group = undirected degree contribution
+    sym = edge_stream.select(F.col("src").alias("node")).unionAll(
+        edge_stream.select(F.col("dst").alias("node"))
+    )
+
+    def update(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "node": [key[0]],
+                "total_deg": [total],
+                "is_hub": [total >= hub_threshold],
+            }
+        )
+
+    return sym.groupBy("node").applyInPandasWithState(
+        update,
+        outputStructType="node long, total_deg long, is_hub boolean",
+        stateStructType="deg long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

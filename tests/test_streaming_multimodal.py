@@ -14,6 +14,7 @@ from em_connected_components_spark.functions.multimodal import (
     frame_sample_plan,
 )
 from em_connected_components_spark.streaming.events import (
+    running_degree_monitor,
     session_windows,
     streaming_edge_ingest,
     windowed_counts,
@@ -140,3 +141,56 @@ def test_frame_sample_plan(spark):
         for r in frame_sample_plan(media, every_ms=1000).collect()
     )
     assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0)]
+
+
+def test_running_degree_monitor_stateful(spark, batch_events):
+    # stateful applyInPandasWithState: running per-node degree across
+    # micro-batches must converge to the batch-mode degree table
+    from em_connected_components_spark.operators.aggregates import degrees
+    from em_connected_components_spark.sources import tables as tbl
+
+    edges = tbl.edges_events(spark, SF)
+    with tempfile.TemporaryDirectory() as d:
+        src_dir = os.path.join(d, "edges_stream")
+        os.makedirs(src_dir)
+        # two files -> two micro-batches -> state actually accumulates
+        e = edges.withColumn("rn", F.monotonically_increasing_id())
+        e.filter(F.col("rn") % 2 == 0).select("src", "dst").coalesce(
+            1
+        ).write.parquet(os.path.join(src_dir, "b0"))
+        e.filter(F.col("rn") % 2 == 1).select("src", "dst").coalesce(
+            1
+        ).write.parquet(os.path.join(src_dir, "b1"))
+        stream = (
+            spark.readStream.schema("src long, dst long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*")
+        )
+        mon = running_degree_monitor(stream, hub_threshold=3)
+        q = (
+            mon.writeStream.format("memory")
+            .queryName("degmon")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # latest emission per node = final running degree
+        out = spark.sql(
+            """
+            SELECT node, total_deg, is_hub FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY node ORDER BY total_deg DESC) AS rk
+              FROM degmon) WHERE rk = 1
+            """
+        )
+        got = {r["node"]: (r["total_deg"], r["is_hub"]) for r in out.collect()}
+        expected = {
+            r["node"]: r["degree"] for r in degrees(edges).collect()
+        }
+        assert len(got) == len(expected)
+        for node, deg in expected.items():
+            assert got[node][0] == deg
+            assert got[node][1] == (deg >= 3)

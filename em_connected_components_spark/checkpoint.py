@@ -49,10 +49,28 @@ class RoundCheckpointer:
         os.replace(tmp, self._manifest_path())  # atomic commit
 
     # -- rounds -----------------------------------------------------------
+    @staticmethod
+    def _partition_lineage(path: str) -> list[dict]:
+        """Per-partition file lineage for a written table: one entry per
+        parquet part file with its byte size (the Iceberg-manifest analogue —
+        snapshot membership is exactly this file list; north_rule's
+        'per-partition lineage')."""
+        out = []
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                full = os.path.join(path, name)
+                out.append({"file": name, "bytes": os.path.getsize(full)})
+        return out
+
     def save_round(
-        self, rnd: int, edges: DataFrame, labels: DataFrame
+        self,
+        rnd: int,
+        edges: DataFrame,
+        labels: DataFrame,
+        metrics: dict | None = None,
     ) -> tuple[DataFrame, DataFrame]:
-        """Write both tables, commit the manifest, return re-read (lineage-free)
+        """Write both tables, commit the manifest (with per-partition file
+        lineage and optional round metrics), return re-read (lineage-free)
         DataFrames."""
         edir = os.path.join(self.root, f"round={rnd}", "edges")
         ldir = os.path.join(self.root, f"round={rnd}", "labels")
@@ -61,7 +79,15 @@ class RoundCheckpointer:
         manifest = self._read_manifest()
         manifest["rounds"] = [r for r in manifest["rounds"] if r["round"] < rnd]
         manifest["rounds"].append(
-            {"round": rnd, "edges": edir, "labels": ldir, "ts": time.time()}
+            {
+                "round": rnd,
+                "edges": edir,
+                "labels": ldir,
+                "ts": time.time(),
+                "edges_files": self._partition_lineage(edir),
+                "labels_files": self._partition_lineage(ldir),
+                "metrics": metrics or {},
+            }
         )
         self._write_manifest(manifest)
         return self.spark.read.parquet(edir), self.spark.read.parquet(ldir)

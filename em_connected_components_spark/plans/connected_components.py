@@ -484,7 +484,11 @@ def connected_components(
             )
 
         if checkpointer is not None:
-            e_next, labels = checkpointer.save_round(rnd, e_next, labels)
+            e_next, labels = checkpointer.save_round(
+                rnd, e_next, labels,
+                metrics={"m": m, "n_nodes": n_before,
+                         "broadcast": do_broadcast, "kind": strategy},
+            )
             round_labels.unpersist()  # labels now parquet-backed
         else:
             e_next = e_next.localCheckpoint(eager=True)

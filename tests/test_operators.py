@@ -149,3 +149,21 @@ def test_generators_shapes(spark):
     r = gen.rmat(spark, scale=6, edge_factor=2, seed=4)
     assert r.count() == 64 * 2
     assert r.agg(F.max("src")).collect()[0][0] <= 64
+
+
+def test_edge_catalog_parquet_roundtrip(spark, tmp_path):
+    from em_connected_components_spark.sources.catalog import (
+        EdgeCatalog,
+        iceberg_available,
+    )
+    from em_connected_components_spark.sources import generators as gen
+
+    assert not iceberg_available(spark)  # sandbox has no Iceberg runtime
+    cat = EdgeCatalog(spark, str(tmp_path / "edges"), buckets=4)
+    edges = gen.path(spark, 100)
+    cat.write(edges)
+    assert sorted(map(tuple, cat.read().collect())) == sorted(
+        map(tuple, edges.collect())
+    )
+    cat.append(gen.matching(spark, 5))
+    assert cat.read().count() == 99 + 5

@@ -271,7 +271,8 @@ def _q_docs_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_docs_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    # the scalable LSH pipeline (approximate candidate generation) — rows-only
+    # the scalable LSH pipeline — every hash is md5-derived, so the DuckDB
+    # oracle reproduces the candidate set and Jaccard values exactly
     d = tbl.load_table(spark, sf, "documents")
     return dd.minhash_near_duplicates(d, threshold=0.2)
 
@@ -283,7 +284,7 @@ def _q_docs_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_docs_langid(spark: SparkSession, sf: str) -> DataFrame:
-    # heuristic language ID (SQL-expression variant) — rows-only
+    # heuristic language ID (SQL-expression variant) — CASE-argmax oracle
     d = tbl.load_table(spark, sf, "documents")
     return d.select("doc_id", "lang", tx.language_id_expr("text").alias("lang_pred"))
 
@@ -324,7 +325,8 @@ def _q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    # approximate ANN via random-hyperplane buckets — rows-only
+    # approximate ANN via random-hyperplane buckets; the oracle embeds the
+    # same deterministic hyperplane floats as SQL literals
     emb = tbl.load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return sim.cosine_topk_lsh(emb, queries_df, dim=64, k=5, planes=8)
@@ -338,13 +340,15 @@ def _q_emb_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_emb_near_dups_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # LSH-bucketed near-dup candidates + exact within-bucket filter — the
-    # 100 TB path; approximate (bucket collisions), rows-only check
+    # 100 TB path; approximate by bucketing, but deterministic — oracle
+    # replays the same hyperplane literals
     emb = tbl.load_table(spark, sf, "embeddings")
     return sim.embedding_near_duplicates_lsh(emb, dim=64, threshold=0.4, planes=4)
 
 
 def _q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    # IVF-flat ANN: inverted-list partitioning by nearest centroid — rows-only
+    # IVF-flat ANN: inverted-list partitioning by nearest centroid; oracle
+    # replays the md5 TakeOrdered centroid pick + assignment
     emb = tbl.load_table(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return sim.cosine_topk_ivf(emb, queries_df, k=5, n_lists=16, nprobe=4)

@@ -109,6 +109,50 @@ def _q_cc_lineitem_sizes(spark: SparkSession, sf: str) -> DataFrame:
     return agg.component_size_histogram(labels)
 
 
+def _q_cc_kkt_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # the KKT sample-and-filter driver (G8) — same exact partition and
+    # min-member labels as the iterative loop, same recursive-CTE oracle
+    from em_connected_components_spark.plans.policy import Policy
+
+    edges = tbl.edges_customer_nation(spark, sf)
+    pol = Policy(strategy="kkt", small_graph_edges=0)
+    return connected_components(edges, policy=pol).orderBy("node")
+
+
+def _q_cc_star_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # randomized star-contraction rounds (G3): roots are coin-picked members,
+    # so only the PARTITION is canonical — re-root onto min members
+    # (joins.canonical_min_labels) to compare against the same oracle
+    from em_connected_components_spark.operators.joins import (
+        canonical_min_labels,
+    )
+    from em_connected_components_spark.plans.policy import Policy
+
+    edges = tbl.edges_customer_nation(spark, sf)
+    pol = Policy(strategy="iterative", small_graph_edges=0, star_density=1e18)
+    labels = connected_components(edges, policy=pol)
+    return canonical_min_labels(labels).orderBy("node")
+
+
+def _q_cc_bundles_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # SibeynWithBundles pre-pass (G6): one bundle-local union-find before the
+    # iterative loop; identical labels
+    edges = tbl.edges_customer_nation(spark, sf)
+    return connected_components(
+        edges, small_graph_threshold=0, local_solve_bucket_width=1 << 12
+    ).orderBy("node")
+
+
+def _q_pagerank_spmv_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # the CSR gather-scatter pandas-UDF executor — same update rule, same
+    # unrolled-SQL oracle as the DataFrame PageRank
+    from em_connected_components_spark.plans.pagerank import pagerank_spmv
+
+    edges = tbl.edges_customer_nation(spark, sf)
+    pr = pagerank_spmv(edges, max_iters=30, tol=0.0)
+    return pr.select("node", F.round("rank", 6).alias("rank6")).orderBy("node")
+
+
 def _q_lp_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
     from em_connected_components_spark.plans.label_propagation import (
         label_propagation,
@@ -386,6 +430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_sizes_customer_nation": _q_cc_sizes_customer_nation,
         "cc_events_paths": _q_cc_events_paths,
         "cc_lineitem_sizes": _q_cc_lineitem_sizes,
+        "cc_kkt_customer_nation": _q_cc_kkt_customer_nation,
+        "cc_star_customer_nation": _q_cc_star_customer_nation,
+        "cc_bundles_customer_nation": _q_cc_bundles_customer_nation,
+        "pagerank_spmv_customer_nation": _q_pagerank_spmv_customer_nation,
         "lp_customer_nation": _q_lp_customer_nation,
         "triangles_lineitem": _q_triangles_lineitem,
         "triangles_per_node": _q_triangles_per_node,
@@ -818,6 +866,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
         """,
         "pagerank_customer_nation": _pagerank_oracle(_EDGES_CN),
+        "pagerank_spmv_customer_nation": _pagerank_oracle(_EDGES_CN),
+        "cc_kkt_customer_nation": _cc_oracle(_EDGES_CN),
+        "cc_star_customer_nation": _cc_oracle(_EDGES_CN),
+        "cc_bundles_customer_nation": _cc_oracle(_EDGES_CN),
         "tpch_q1": """
           SELECT l_returnflag, l_linestatus,
                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -169,6 +169,25 @@ def break_paths(hooks: DataFrame) -> DataFrame:
     return hooks.join(targets, on=hooks["src"] == targets["t"], how="left_anti")
 
 
+def canonical_min_labels(labels: DataFrame) -> DataFrame:
+    """Re-root a (node, comp) star map onto each component's MINIMUM member.
+
+    Only the PARTITION of a CC labeling is canonical (SURVEY.md §5.2.3 — the
+    reference's own algorithms disagree on root identity: min-hook vs
+    max-hook vs randomized star centers). This one-agg-one-join pass maps any
+    valid star labeling onto the engine's canonical min-member form, so
+    randomized-root strategies (star contraction G3) compare exactly against
+    min-member oracles.
+    """
+    mins = labels.groupBy("comp").agg(
+        F.least(F.min("node"), F.col("comp")).alias("__m")
+    )
+    # one row per component — AQE picks broadcast when it fits
+    return labels.join(mins, on="comp").select(
+        "node", F.col("__m").alias("comp")
+    )
+
+
 def compare_labelings(a: DataFrame, b: DataFrame) -> DataFrame:
     """Full-outer diff of two (node, comp) tables (cpp/compare-two-star-files.cpp).
 

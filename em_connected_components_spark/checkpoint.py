@@ -8,13 +8,20 @@ snapshot metadata; this container has no Iceberg jars, so the same contract
 is implemented as parquet round directories plus an atomically-replaced JSON
 manifest (write-to-temp + rename). Checkpointing also truncates Catalyst
 lineage — without it, iterative join plans grow without bound.
+
+Cluster-portability: every filesystem touch (manifest read/write/rename,
+lineage listing, mkdir, clear) goes through the Hadoop FileSystem API via the
+JVM gateway — NOT the driver-local ``os`` module — so a checkpoint root on
+HDFS/S3/any configured defaultFS works exactly like a local path. The
+manifest commit keeps rename semantics: FileContext.rename(OVERWRITE) where
+the filesystem provides it (atomic on HDFS and local), with a
+delete-then-rename fallback for stores without an AbstractFileSystem binding
+(object stores have no atomic rename anyway).
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,45 +29,126 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST = "manifest.json"
 
 
+class _HadoopFS:
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem for one root URI.
+
+    All paths are strings (plain or scheme-qualified); the FileSystem is
+    resolved once from the root against the session's Hadoop configuration,
+    so ``file:``, ``hdfs:``, ``s3a:`` etc. roots all route correctly.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        self._gateway = sc._gateway
+        self._conf = sc._jsc.hadoopConfiguration()
+        self._root_path = self.path(root)
+        self.fs = self._root_path.getFileSystem(self._conf)
+
+    def path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def mkdirs(self, p: str) -> None:
+        self.fs.mkdirs(self.path(p))
+
+    def exists(self, p: str) -> bool:
+        return bool(self.fs.exists(self.path(p)))
+
+    def delete(self, p: str, recursive: bool = True) -> None:
+        self.fs.delete(self.path(p), recursive)
+
+    def read_bytes(self, p: str) -> bytes:
+        stream = self.fs.open(self.path(p))
+        try:
+            # commons-io ships with Hadoop; reads the full stream JVM-side
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return bytes(data)
+
+    def write_bytes(self, p: str, data: bytes) -> None:
+        out = self.fs.create(self.path(p), True)  # overwrite=True
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def rename_overwrite(self, src: str, dst: str) -> None:
+        """Rename src over dst — atomic where the FS supports it (HDFS,
+        local) via FileContext(Options.Rename.OVERWRITE); falls back to
+        delete+rename on stores with no AbstractFileSystem binding."""
+        from py4j.protocol import Py4JJavaError
+
+        src_p, dst_p = self.path(src), self.path(dst)
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dst_p.toUri(), self._conf
+            )
+            rename_enum = getattr(
+                self._jvm.org.apache.hadoop.fs, "Options$Rename"
+            )
+            opts = self._gateway.new_array(rename_enum, 1)
+            opts[0] = rename_enum.OVERWRITE
+            fc.rename(src_p, dst_p, opts)
+        except Py4JJavaError:
+            # e.g. UnsupportedFileSystemException for s3a's missing
+            # AbstractFileSystem: no atomic rename exists there at all
+            if self.fs.exists(dst_p):
+                self.fs.delete(dst_p, False)
+            self.fs.rename(src_p, dst_p)
+
+    def list_files(self, p: str) -> list[tuple[str, int]]:
+        """(name, bytes) for every plain file directly under p, name-sorted."""
+        out = []
+        for st in self.fs.listStatus(self.path(p)):
+            if st.isFile():
+                out.append((st.getPath().getName(), int(st.getLen())))
+        return sorted(out)
+
+
+def _join(*parts: str) -> str:
+    """URI-safe path join (works for plain paths and scheme-qualified URIs)."""
+    return "/".join(s.rstrip("/") for s in parts)
+
+
 class RoundCheckpointer:
     """Persists (edges, labels) per round under ``root`` and resumes from the
-    last completed round."""
+    last completed round. ``root`` may be any Hadoop-resolvable location
+    (local path, ``file:`` URI, ``hdfs://...``, ``s3a://...``)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self._fs = _HadoopFS(spark, root)
+        self._fs.mkdirs(root)
 
     # -- manifest ---------------------------------------------------------
     def _manifest_path(self) -> str:
-        return os.path.join(self.root, _MANIFEST)
+        return _join(self.root, _MANIFEST)
 
     def _read_manifest(self) -> dict:
         path = self._manifest_path()
-        if not os.path.exists(path):
+        if not self._fs.exists(path):
             return {"rounds": [], "final": None}
-        with open(path) as f:
-            return json.load(f)
+        return json.loads(self._fs.read_bytes(path).decode("utf-8"))
 
     def _write_manifest(self, manifest: dict) -> None:
         tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2)
-        os.replace(tmp, self._manifest_path())  # atomic commit
+        self._fs.write_bytes(tmp, json.dumps(manifest, indent=2).encode())
+        self._fs.rename_overwrite(tmp, self._manifest_path())  # commit
 
     # -- rounds -----------------------------------------------------------
-    @staticmethod
-    def _partition_lineage(path: str) -> list[dict]:
+    def _partition_lineage(self, path: str) -> list[dict]:
         """Per-partition file lineage for a written table: one entry per
         parquet part file with its byte size (the Iceberg-manifest analogue —
         snapshot membership is exactly this file list; north_rule's
-        'per-partition lineage')."""
-        out = []
-        for name in sorted(os.listdir(path)):
-            if name.endswith(".parquet"):
-                full = os.path.join(path, name)
-                out.append({"file": name, "bytes": os.path.getsize(full)})
-        return out
+        'per-partition lineage'). Listed through the Hadoop FS, so it works
+        on whatever filesystem Spark just wrote the table to."""
+        return [
+            {"file": name, "bytes": size}
+            for name, size in self._fs.list_files(path)
+            if name.endswith(".parquet")
+        ]
 
     def save_round(
         self,
@@ -72,8 +160,8 @@ class RoundCheckpointer:
         """Write both tables, commit the manifest (with per-partition file
         lineage and optional round metrics), return re-read (lineage-free)
         DataFrames."""
-        edir = os.path.join(self.root, f"round={rnd}", "edges")
-        ldir = os.path.join(self.root, f"round={rnd}", "labels")
+        edir = _join(self.root, f"round={rnd}", "edges")
+        ldir = _join(self.root, f"round={rnd}", "labels")
         edges.write.mode("overwrite").parquet(edir)
         labels.write.mode("overwrite").parquet(ldir)
         manifest = self._read_manifest()
@@ -98,7 +186,7 @@ class RoundCheckpointer:
         # point at the old files.
         manifest = self._read_manifest()
         version = manifest.get("final_version", 0) + 1
-        fdir = os.path.join(self.root, f"final_labels_v{version}")
+        fdir = _join(self.root, f"final_labels_v{version}")
         labels.write.mode("overwrite").parquet(fdir)
         manifest["final"] = fdir
         manifest["final_version"] = version
@@ -124,5 +212,5 @@ class RoundCheckpointer:
         return None
 
     def clear(self) -> None:
-        shutil.rmtree(self.root, ignore_errors=True)
-        os.makedirs(self.root, exist_ok=True)
+        self._fs.delete(self.root, recursive=True)
+        self._fs.mkdirs(self.root)

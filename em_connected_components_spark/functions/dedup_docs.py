@@ -142,10 +142,18 @@ def shingle_candidate_pairs(
     the corpus. Shingles with df > ``max_doc_freq`` are excluded from
     CANDIDATE GENERATION only (the Jaccard numerator/denominator still count
     every shingle), bounding the join at sum_over_kept(df^2) <=
-    max_doc_freq * |shingle rows|. Pairs whose only overlap is capped
-    stop-shingles have Jaccard ~ stop-shingle count / union — below any
-    useful threshold, so capping loses no real near-duplicates; the LSH
-    banding pipeline (minhash_near_duplicates) is the scale path regardless.
+    max_doc_freq * |shingle rows|.
+
+    RECALL BOUND (not lossless): a pair is invisible iff EVERY shingle the two
+    docs share has df > max_doc_freq. For distinct documents whose overlap is
+    only stop-shingles that is the intended filtering (Jaccard below any
+    useful threshold anyway) — but a duplicate CLUSTER larger than
+    max_doc_freq docs pushes all of its own shared shingles over the cap, so
+    exact duplicates replicated > max_doc_freq times produce zero candidates
+    here. Heavily-duplicated corpora should raise the cap, pre-collapse exact
+    dups first (exact_duplicate_groups), or use the LSH banding pipeline
+    (minhash_near_duplicates — per-doc signatures, immune to df) as the scale
+    path.
     """
     keep = (
         shingle_df.groupBy("shingle")

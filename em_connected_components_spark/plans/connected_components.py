@@ -239,7 +239,14 @@ def _pointer_jump_chained(
         cur = c
         pending = c.filter(~F.col("__done")).count()  # cache scan, no join
         if pending == 0:
-            return cur.select("node", "comp")
+            # hand back a SELF-persisted projection: Spark uncaches only on a
+            # same-plan match, so returning a bare select() of the cached c
+            # would make the caller's unpersist() a no-op and leak one n-row
+            # cached table (plus __done) per superstep
+            out = cur.select("node", "comp").persist()
+            out.count()  # materialize (cache-to-cache copy) before dropping c
+            prev_cache.unpersist()
+            return out
     # pathological depth (> steps*passes): finish with path doubling
     out = _pointer_jump(cur.select("node", "comp"), max_iters)
     if prev_cache is not None:
@@ -335,11 +342,17 @@ def connected_components(
         small_graph_threshold = policy.small_graph_edges
         broadcast_threshold_rows = policy.broadcast_rows
 
-    if (
-        policy is not None
-        and policy.strategy == "kkt"
-        and checkpointer is None
-    ):
+    if policy is not None and policy.strategy == "kkt":
+        if checkpointer is not None:
+            # explicit, not a silent downgrade: the KKT driver's phases
+            # (E1 solve / filter / E2 solve / compose) are not round-shaped,
+            # so RoundCheckpointer's per-round resume contract does not apply
+            raise ValueError(
+                "Policy(strategy='kkt') does not support a checkpointer: "
+                "the sample-and-filter phases are not resumable rounds. "
+                "Use strategy='iterative' for checkpointed runs, or run KKT "
+                "without a checkpointer."
+            )
         return _kkt_driver(
             edges,
             policy=policy,

@@ -35,6 +35,9 @@ class Policy:
     # compose — cpp/FunctionalSubproblemManager.h:430-757, run-fun-sibeyn.cpp).
     # Wins on DENSE graphs: the full m-row table is touched by ONE contract
     # instead of participating in every hooking round.
+    # LIMITATION: strategy="kkt" is incompatible with a RoundCheckpointer
+    # (its phases are not resumable rounds) — connected_components raises
+    # ValueError rather than silently downgrading to the iterative driver.
     strategy: str = "iterative"
 
     def should_finish_local(self, m: int) -> bool:

@@ -63,6 +63,56 @@ def test_kill_and_resume_identical_labels(spark, tmp_path):
     assert sorted((r["node"], r["comp"]) for r in final.collect()) == ref_rows
 
 
+def test_checkpoint_file_uri_root_through_hadoop_fs(spark, tmp_path):
+    # cluster-portability: a scheme-qualified root must route every manifest/
+    # lineage/mkdir touch through the Hadoop FileSystem API (a driver-local
+    # os.* implementation would mangle or miss 'file:/...' paths)
+    edges = _graph(spark)
+    root = f"file:{tmp_path}/ckpt_uri"
+    ck = RoundCheckpointer(spark, root)
+    connected_components(
+        edges, small_graph_threshold=0, jump_local_threshold=0,
+        pre_canonicalized=True, checkpointer=ck, max_rounds=1,
+    )
+    resumed = ck.resume()
+    assert resumed is not None
+    # manifest was committed via rename and carries per-partition lineage
+    manifest = ck._read_manifest()
+    assert manifest["rounds"], "round 0 committed"
+    r0 = manifest["rounds"][0]
+    assert r0["edges_files"] and all(
+        f["file"].endswith(".parquet") and f["bytes"] > 0
+        for f in r0["edges_files"]
+    )
+    # full resume from the URI root produces the canonical labeling
+    ck2 = RoundCheckpointer(spark, root)
+    res = connected_components(
+        edges, small_graph_threshold=0, jump_local_threshold=0,
+        pre_canonicalized=True, checkpointer=ck2,
+    )
+    ref = connected_components(
+        edges, small_graph_threshold=0, jump_local_threshold=0,
+        pre_canonicalized=True,
+    )
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, ref.collect()))
+    ck2.clear()
+    assert ck2.resume() is None
+
+
+def test_checkpoint_module_has_no_driver_local_fs_calls():
+    # the class of bug this layer had (VERDICT r2 #2): os.listdir/os.path on
+    # table directories breaks on any non-local defaultFS. Enforce zero os.*
+    # usage in the module, not just behavioral coverage.
+    import inspect
+    import re
+
+    import em_connected_components_spark.checkpoint as ckpt_mod
+
+    src = inspect.getsource(ckpt_mod)
+    assert not re.search(r"^\s*import os\b", src, re.M)
+    assert not re.search(r"(?<![\w.])os\.", src)  # no os.listdir/os.path/...
+
+
 def test_checkpointed_equals_uncheckpointed_partition(spark, tmp_path):
     edges = _graph(spark)
     ck = RoundCheckpointer(spark, str(tmp_path / "ckpt2"))

@@ -111,6 +111,22 @@ def test_cc_kkt_policy_matches_oracle_rmat(spark):
     assert labels_to_partition(labels.collect()) == python_union_find(edge_rows)
 
 
+def test_cc_kkt_policy_rejects_checkpointer(spark, tmp_path):
+    # explicit failure, not a silent downgrade: KKT's sample-and-filter phases
+    # are not resumable rounds, so pairing it with a RoundCheckpointer raises
+    import pytest
+
+    from em_connected_components_spark.checkpoint import RoundCheckpointer
+
+    edges = canonicalize(gen.gilbert(spark, 100, 2.0, seed=3))
+    ck = RoundCheckpointer(spark, str(tmp_path / "kkt_ckpt"))
+    with pytest.raises(ValueError, match="kkt"):
+        connected_components(
+            edges, pre_canonicalized=True,
+            policy=Policy(strategy="kkt"), checkpointer=ck,
+        )
+
+
 def test_max_hook_variant_same_partition(spark):
     # Sibeyn cross-check (reference sibeyn.hpp:54-221 hooks toward the MAX
     # neighbor; our engine hooks toward the MIN). Either direction must yield

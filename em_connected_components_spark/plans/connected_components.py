@@ -299,7 +299,7 @@ def connected_components(
     *,
     small_graph_threshold: int = 1_000_000,
     max_rounds: int = 64,
-    broadcast_threshold_rows: int = 8_000_000,
+    broadcast_threshold_rows: int | None = None,
     checkpointer: RoundCheckpointer | None = None,
     metrics: CCMetrics | None = None,
     pre_canonicalized: bool = False,
@@ -317,10 +317,12 @@ def connected_components(
     analogue of the reference's semi-external switch (Boruvka.h:32-36). No
     driver collect, no driver-local files: cluster-safe by construction.
     ``broadcast_threshold_rows``: label-table size below which relabel joins
-    are forced broadcast. 8M rows of (long, long) ≈ 8M*32B ≈ 256MB of
-    broadcast relation — sized for executors with >=4GB heap; lower it (or
-    use a Policy) on smaller executors. Above the threshold AQE still
-    upgrades joins it measures as small enough.
+    are forced broadcast. Default None = BYTE-GATED: derived from the
+    session's memory config via tuning.broadcast_row_bound (~heap/2048 rows,
+    capped at 16M — e.g. ~524k rows on 1GB executors, ~2M on 4GB), so the
+    explicit hint can never exceed what the participating heaps hold; the
+    ``spark.emcc.broadcast.maxRows`` conf pins it explicitly. Above the
+    threshold AQE still upgrades joins it measures as small enough.
     ``checkpointer``: if given, per-round edge/label tables are persisted and
     a killed run resumes from the last completed round.
     ``policy``: optional plans.policy.Policy overriding the two thresholds and
@@ -341,6 +343,10 @@ def connected_components(
     if policy is not None:
         small_graph_threshold = policy.small_graph_edges
         broadcast_threshold_rows = policy.broadcast_rows
+    if broadcast_threshold_rows is None:
+        from ..tuning import broadcast_row_bound
+
+        broadcast_threshold_rows = broadcast_row_bound(spark)
 
     if policy is not None and policy.strategy == "kkt":
         if checkpointer is not None:

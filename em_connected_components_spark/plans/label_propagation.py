@@ -37,16 +37,21 @@ def label_propagation(
     edges: DataFrame,
     max_rounds: int = 100,
     metrics: LPMetrics | None = None,
-    broadcast_threshold_rows: int = 2_000_000,
+    broadcast_threshold_rows: int | None = None,
 ) -> DataFrame:
     """(node, label) with label = min node id reachable (at convergence).
 
     Stops when a round changes no label or after ``max_rounds``.
-    When the node count fits ``broadcast_threshold_rows`` the label table is
+    When the node count fits ``broadcast_threshold_rows`` (default: the
+    memory-derived byte gate, tuning.broadcast_row_bound) the label table is
     broadcast each round, so the static edge table is never re-shuffled
     (same semi-external switch as pagerank/connected_components).
     """
     metrics = metrics if metrics is not None else LPMetrics()
+    if broadcast_threshold_rows is None:
+        from ..tuning import broadcast_row_bound
+
+        broadcast_threshold_rows = broadcast_row_bound(edges.sparkSession)
     sym = symmetrize(edges).persist()
     labels = (
         sym.select(F.col("src").alias("node")).distinct()

@@ -56,7 +56,7 @@ def pagerank(
     tol: float = 1e-9,
     check_every: int = 5,
     metrics: PRMetrics | None = None,
-    broadcast_threshold_rows: int = 2_000_000,
+    broadcast_threshold_rows: int | None = None,
 ) -> DataFrame:
     """(node, rank) after power iteration; stops when L1 delta < tol.
 
@@ -75,6 +75,12 @@ def pagerank(
     """
     spark = edges.sparkSession
     metrics = metrics if metrics is not None else PRMetrics()
+    if broadcast_threshold_rows is None:
+        # byte-gated like the CC relabel joins (tuning.broadcast_row_bound):
+        # the forced hint never exceeds what the participating heaps hold
+        from ..tuning import broadcast_row_bound
+
+        broadcast_threshold_rows = broadcast_row_bound(spark)
 
     # Pin the edge table PRE-PARTITIONED on the join key: the per-iteration
     # ranks-join then reuses the cached hash partitioning (Catalyst sees

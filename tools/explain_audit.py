@@ -112,7 +112,11 @@ def main() -> None:
         ["AdaptiveSparkPlan", "SortMergeJoin"],
         "early rounds: labels ~ nodes ~ edges, so relabel is a shuffled "
         "sort-merge join; AQE re-plans (incl. skew split) at runtime "
-        "(broadcast thresholds disabled here to model the at-scale shape)",
+        "(broadcast thresholds disabled here to model the at-scale shape). "
+        "The driver's forced-broadcast hint is byte-gated "
+        "(tuning.broadcast_row_bound), so above the memory-derived bound NO "
+        "BroadcastExchange may appear in the relabel plan",
+        forbid=["BroadcastExchange"],
     )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",

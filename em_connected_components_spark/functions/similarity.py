@@ -166,24 +166,92 @@ def embedding_near_duplicates_lsh(
     )
 
 
+def _ivf_assign_pandas(
+    df: DataFrame,
+    rows: list,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """Vectorized centroid assignment for LARGE centroid sets: one Arrow
+    matmul per batch against the broadcast centroid matrix.
+
+    The >1024-centroid shape: a literal expression tree stops scaling, so the
+    per-row argmax becomes numpy ``V @ C.T`` inside mapInPandas — still zero
+    shuffle (pure map over the corpus), with the (n_lists x dim) float64
+    matrix shipped once per executor via sc.broadcast. Top-``nprobe`` pick is
+    a stable argsort on -cos, so ties break by ascending list_id exactly like
+    the literal path's comparator. O(sqrt n) centroids at n = 10^9+ vectors
+    (n_lists ~ 32k, dim 768 -> ~200 MB matrix) stays executor-resident.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    C = np.array([[float(x) for x in r["centroid"]] for r in rows],
+                 dtype=np.float64)
+    Cn = np.sqrt((C * C).sum(axis=1))
+    list_ids = np.array([int(r["list_id"]) for r in rows], dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((C, Cn, list_ids))
+    np_ = min(nprobe, len(rows))
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("norm", DoubleType()),
+            StructField("list_id", IntegerType()),
+            StructField("probe_rank", IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        Cm, Cnorm, lids = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.sqrt((V * V).sum(axis=1))
+            cos = (V @ Cm.T) / (vn[:, None] * Cnorm[None, :])
+            # stable sort on -cos: equal cos keeps column order = ascending
+            # list_id (columns are list_id-sorted), matching the literal
+            # path's (cos desc, list_id asc) comparator
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :np_]
+            out = pdf.loc[pdf.index.repeat(np_)].reset_index(drop=True)
+            out["norm"] = np.repeat(vn, np_)
+            out["list_id"] = lids[top.ravel()].astype(np.int32)
+            out["probe_rank"] = np.tile(
+                np.arange(1, np_ + 1, dtype=np.int32), len(pdf)
+            )
+            yield out
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     nprobe: int = 1,
+    literal_max: int = 1024,
 ) -> DataFrame:
     """Assign each vector to its `nprobe` nearest centroids by cosine.
 
-    Centroids are O(sqrt(n)) rows by construction — small enough to collect
-    and inline as literal arrays. Assignment is then a PURE PER-ROW
-    EXPRESSION: build the (cos, list_id) struct array, array_sort by
-    (cos desc, list_id asc), slice nprobe, posexplode. No corpus shuffle, no
-    window, no join — the whole pass stays inside whole-stage codegen and
-    scales as a map over the corpus. (Very large centroid sets would blow up
-    the expression tree; above ~1024 centroids a broadcast join + max_by
-    aggregation would be the shape — n_lists that large pairs with corpora
-    where probing is IO-bound anyway.)
+    Centroids are O(sqrt(n)) rows by construction — small enough to collect.
+    Up to ``literal_max`` of them, assignment is a PURE PER-ROW EXPRESSION:
+    build the (cos, list_id) struct array, array_sort by (cos desc, list_id
+    asc), slice nprobe, posexplode. No corpus shuffle, no window, no join —
+    the whole pass stays inside whole-stage codegen and scales as a map over
+    the corpus. Above ``literal_max`` the expression tree stops scaling, so
+    the same semantics run as an Arrow-batched numpy matmul
+    (``_ivf_assign_pandas``) — still a zero-shuffle map, with the centroid
+    matrix broadcast once per executor; this is the 10^9-vector path where
+    n_lists ~ O(sqrt n) >> 1024.
     Returns the input columns plus norm, (list_id, probe_rank).
     """
     import math
@@ -192,6 +260,8 @@ def ivf_assign(
         centroids.select("list_id", "centroid").collect(),
         key=lambda r: r["list_id"],
     )
+    if len(rows) > literal_max:
+        return _ivf_assign_pandas(df, rows, vec_col, nprobe)
     v = with_norm(df, vec_col)
     entries = []
     for r in rows:
@@ -261,23 +331,30 @@ def cosine_topk_ivf(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    literal_max: int = 1024,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus is inverted-list-partitioned by
     nearest centroid; each query probes its `nprobe` nearest lists and scans
     only those lists' vectors.
 
-    The 100 TB shape: build once (corpus assignment is a broadcast join,
-    written out partitioned by list_id so probes are partition-pruned scans);
-    query cost is nprobe/n_lists of brute force. Recall is tunable via
-    nprobe.
+    The 100 TB shape: build once (corpus assignment is a zero-shuffle map —
+    literal expressions up to ``literal_max`` centroids, Arrow-batched numpy
+    matmul beyond — written out partitioned by list_id so probes are
+    partition-pruned scans); query cost is nprobe/n_lists of brute force.
+    Recall is tunable via nprobe.
     """
     cents = train_centroids_sample(corpus, n_lists, seed, vec_col, id_col)
     cents = cents.persist()  # read twice (corpus + query assignment collects)
-    c = ivf_assign(corpus, cents, vec_col, id_col, nprobe=1).select(
+    c = ivf_assign(
+        corpus, cents, vec_col, id_col, nprobe=1, literal_max=literal_max
+    ).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
         F.col("norm").alias("__cn"), "list_id",
     )
-    q = ivf_assign(queries, cents, vec_col, id_col, nprobe=nprobe).select(
+    q = ivf_assign(
+        queries, cents, vec_col, id_col, nprobe=nprobe,
+        literal_max=literal_max,
+    ).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
         F.col("norm").alias("__qn"), "list_id",
     )

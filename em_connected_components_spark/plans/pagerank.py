@@ -57,6 +57,7 @@ def pagerank(
     check_every: int = 5,
     metrics: PRMetrics | None = None,
     broadcast_threshold_rows: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """(node, rank) after power iteration; stops when L1 delta < tol.
 
@@ -86,8 +87,14 @@ def pagerank(
     # ranks-join then reuses the cached hash partitioning (Catalyst sees
     # HashPartitioning(src) on the cached side), so only the small ranks
     # table shuffles each iteration — the m-row table never re-exchanges.
+    # ``pre_partitioned=True`` skips even that one-time exchange: the caller
+    # attests the input already carries HashPartitioning(src) — e.g. a
+    # src-bucketed EdgeCatalog table (sources/catalog.py write_bucketed),
+    # whose on-disk layout the scan exposes directly.
     sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    edges = edges.repartition(sp, "src").persist()
+    if not pre_partitioned:
+        edges = edges.repartition(sp, "src")
+    edges = edges.persist()
     nodes, out_deg = _nodes_and_degrees(edges)
     base = nodes.join(out_deg, on="node", how="left").select(
         "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")

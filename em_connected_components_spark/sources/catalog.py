@@ -74,3 +74,49 @@ class EdgeCatalog:
         return self.spark.read.schema("src long, dst long").parquet(
             self.location
         )
+
+    # -- bucketed layout: the exchange-free entry point -------------------
+    def write_bucketed(self, edges: DataFrame, table: str) -> None:
+        """Persist the edge table in a src-bucketed LAYOUT-AWARE table.
+
+        Unlike ``write`` (plain parquet — the partitioning is lost on read),
+        a bucketed table records HashPartitioning(src, buckets) in the
+        catalog, so every downstream groupBy/join on ``src`` starts WITHOUT
+        an Exchange: at 100 TB this is what lets PageRank skip its initial
+        ``repartition(sp, "src")`` of the m-row table (plans/pagerank.py) —
+        the iterative joins reuse the on-disk layout across the entire run.
+
+        Iceberg deployments get the same via a ``bucket(buckets, src)``
+        partition transform + storage-partitioned joins; this sandbox's
+        parquet fallback uses Spark's native bucketed tables
+        (``bucketBy().sortBy().saveAsTable``), which need a table name in
+        the session catalog on top of ``location``.
+        """
+        df = edges.select("src", "dst")
+        if self.use_iceberg:
+            from pyspark.sql import functions as F
+
+            (
+                df.writeTo(self.location)
+                .partitionedBy(F.bucket(self.buckets, F.col("src")))
+                .createOrReplace()
+            )
+            return
+        (
+            # pre-shuffle to one bucket per task -> exactly one file per
+            # bucket (bucketBy and repartition share the Murmur3 hash)
+            df.repartition(self.buckets, "src")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(self.buckets, "src")
+            .sortBy("src", "dst")
+            .option("path", self.location)
+            .saveAsTable(table)
+        )
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        """Read the bucketed table WITH its layout metadata (spark.table,
+        not spark.read.parquet — a path read would discard the bucketing)."""
+        if self.use_iceberg:
+            return self.spark.read.table(self.location)
+        return self.spark.table(table)

@@ -237,3 +237,55 @@ def test_ivf_partial_probe_recall(spark):
     }
     # half the lists probed -> decent recall on random data
     assert len(ivf & bf) / len(bf) >= 0.4
+
+
+def test_ivf_assign_pandas_matches_literal(spark):
+    # the two assignment executors (literal expression tree vs Arrow matmul)
+    # must pick identical (list_id, probe_rank) per vector
+    import numpy as np
+
+    rng = np.random.RandomState(19)
+    corpus = [(i, [float(x) for x in rng.randn(12)]) for i in range(200)]
+    df = _vecs(spark, corpus)
+    cents = sim.train_centroids_sample(df, n_lists=16).persist()
+
+    def rows_of(literal_max):
+        out = sim.ivf_assign(df, cents, nprobe=3, literal_max=literal_max)
+        return sorted(
+            (r["vec_id"], r["list_id"], r["probe_rank"]) for r in out.collect()
+        )
+
+    assert rows_of(10**9) == rows_of(0)  # literal path vs pandas path
+    cents.unpersist()
+
+
+def test_ivf_assign_beyond_literal_cap(spark):
+    # n_lists >= 2048 (> the 1024 literal_max) auto-dispatches to the matmul
+    # path; verify nearest-centroid assignment against a driver-side numpy
+    # oracle with the same (cos desc, list_id asc) tie-break
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    corpus = [(i, [float(x) for x in rng.randn(8)]) for i in range(3000)]
+    df = _vecs(spark, corpus)
+    cents = sim.train_centroids_sample(df, n_lists=2048).persist()
+    crows = sorted(cents.collect(), key=lambda r: r["list_id"])
+    assert len(crows) == 2048
+
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in sim.ivf_assign(df, cents, nprobe=1).collect()
+    }
+    C = np.array([[float(x) for x in r["centroid"]] for r in crows])
+    Cn = np.sqrt((C * C).sum(axis=1))
+    V = np.array([v for _, v in corpus], dtype=np.float64)
+    Vn = np.sqrt((V * V).sum(axis=1))
+    cos = (V @ C.T) / (Vn[:, None] * Cn[None, :])
+    expected = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+    assert len(got) == len(corpus)
+    mismatches = [
+        i for i, (_, _) in enumerate(corpus)
+        if got[i] != int(crows[expected[i]]["list_id"])
+    ]
+    assert not mismatches
+    cents.unpersist()

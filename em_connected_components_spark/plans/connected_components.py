@@ -232,12 +232,22 @@ def _pointer_jump_chained(
             )
             .persist()
         )
-        c.count()
+        # ONE job materializes the cache AND returns the convergence count
+        # (caching fills whole partitions regardless of the agg's columns) —
+        # fusing the former count() + filter().count() pair halves the
+        # per-pass driver round-trips, a pure serial-fraction saving
+        pending = int(
+            c.agg(
+                F.sum(
+                    F.when(~F.col("__done"), F.lit(1)).otherwise(F.lit(0))
+                ).alias("p")
+            ).collect()[0]["p"]
+            or 0
+        )
         if prev_cache is not None:
             prev_cache.unpersist()
         prev_cache = c
         cur = c
-        pending = c.filter(~F.col("__done")).count()  # cache scan, no join
         if pending == 0:
             # hand back a SELF-persisted projection: Spark uncaches only on a
             # same-plan match, so returning a bare select() of the cached c
@@ -307,6 +317,7 @@ def connected_components(
     local_solve_bucket_width: int = 0,
     jump_local_threshold: int = 2_000_000,
     heavy_hitter_split: bool = True,
+    hub_seeds: list[int] | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Exact CC labels (node, comp) with comp = min member of the component.
@@ -337,6 +348,12 @@ def connected_components(
     measured crossover (~2s/M rows single-task vs ~8s flat distributed):
     below it one task beats per-job scheduling overhead; above it the
     distributed joins win AND carry no serial fraction.
+    ``hub_seeds``: known mega-hub node ids (e.g. flagged online by
+    streaming.events.running_degree_monitor while the crawl frontier was
+    ingesting) — the FIRST executed round arms the heavy-split relabel path
+    directly from this list, skipping the degree-scan detect job entirely;
+    later rounds re-detect from the (contracted) degrees as usual, since
+    contraction renames nodes.
     """
     spark = edges.sparkSession
     metrics = metrics if metrics is not None else CCMetrics()
@@ -458,6 +475,7 @@ def connected_components(
 
         do_broadcast = n_before <= broadcast_threshold_rows
         heavy: list[tuple[int, int]] = []
+        hub_source: str | None = None
         if strategy == "boruvka":
             if heavy_hitter_split and not do_broadcast:
                 # skew trigger: a broadcast relabel has no shuffle to skew;
@@ -468,19 +486,26 @@ def connected_components(
                 # Measured A/B on mega-hub stars (tools/bench_salting.py,
                 # BENCH/salting.json): neutral at 10M leaves, ~7% faster at
                 # 30M — fires only beyond max(4m/partitions, 1M) degree.
-                # Degree came free with the hook shuffle; the threshold scan
-                # is one cheap job over the cached n-row parent table.
-                sp = int(
-                    spark.conf.get("spark.sql.shuffle.partitions", "200")
-                )
-                deg_thr = max(4 * m // max(sp, 1), 1_000_000)
-                hot_ids = [
-                    r["node"]
-                    for r in parents_full.filter(F.col("deg") > deg_thr)
-                    .select("node")
-                    .limit(1024)
-                    .collect()
-                ]
+                if hub_seeds and rnd == start_round:
+                    # seeded by the online monitor: no detect job at all —
+                    # ids refer to the ORIGINAL graph, hence first round only
+                    hot_ids = [int(h) for h in hub_seeds][:1024]
+                    hub_source = "seeded"
+                else:
+                    # degree came free with the hook shuffle; the threshold
+                    # scan is one cheap job over the cached n-row parent table
+                    sp = int(
+                        spark.conf.get("spark.sql.shuffle.partitions", "200")
+                    )
+                    deg_thr = max(4 * m // max(sp, 1), 1_000_000)
+                    hot_ids = [
+                        r["node"]
+                        for r in parents_full.filter(F.col("deg") > deg_thr)
+                        .select("node")
+                        .limit(1024)
+                        .collect()
+                    ]
+                    hub_source = "scan" if hot_ids else None
                 if hot_ids:
                     heavy = [
                         (r["node"], r["comp"])
@@ -531,6 +556,7 @@ def connected_components(
             n_nodes=n_before, wall_sec=time.time() - t0,
             edges_per_sec=m / max(time.time() - t0, 1e-9),
             broadcast=do_broadcast, n_heavy_hitters=len(heavy),
+            hub_source=hub_source,
         )
         if strategy == "boruvka":
             n_prev = n_before  # true node count of the contracted graph

@@ -137,3 +137,24 @@ def running_degree_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def collect_hub_seeds(monitor_sink: DataFrame, limit: int = 1024) -> list[int]:
+    """Hub-id seed list from a ``running_degree_monitor`` sink table —
+    the bridge into the batch engine: pass the result as
+    ``connected_components(hub_seeds=...)`` so the first CC round arms its
+    heavy-split relabel path with zero detect jobs (the monitor already paid
+    for the degrees online, one micro-batch at a time).
+
+    ``monitor_sink`` is any batch view over the monitor's output rows
+    (memory sink table, parquet sink directory, ...); update-mode sinks emit
+    one row per touched node per batch, so dedupe on node.
+    """
+    return [
+        r["node"]
+        for r in monitor_sink.filter(F.col("is_hub"))
+        .select("node")
+        .distinct()
+        .limit(limit)
+        .collect()
+    ]

@@ -218,6 +218,12 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
 # orchestrate
 # ---------------------------------------------------------------------------
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    k = len(s)
+    return s[k // 2] if k % 2 else (s[k // 2 - 1] + s[k // 2]) / 2
+
+
 def orchestrate() -> None:
     os.makedirs(WORK, exist_ok=True)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -231,57 +237,80 @@ def orchestrate() -> None:
                 "reused": True}
     print(f"[scaling] input: {info}", file=sys.stderr)
 
-    results = {}
-    for cpus in LEVELS:
-        out = os.path.join(WORK, f"result_local{cpus}.json")
-        print(f"[scaling] run local[{cpus}] ...", file=sys.stderr)
-        t0 = time.time()
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "worker",
-             "--cpus", str(cpus), "--input", edges_dir, "--out", out],
-            check=True, cwd=REPO,
-        )
-        with open(out) as f:
-            results[cpus] = json.load(f)
-        print(f"[scaling] local[{cpus}] done in {time.time()-t0:.0f}s",
-              file=sys.stderr)
-
     if len(LEVELS) < 2:
         raise SystemExit("SPARK_GRAFT_SCALING_LEVELS needs >=2 comma-separated ints")
     lo, hi = min(LEVELS), max(LEVELS)
     factor = hi / lo
-    eff = {}
-    for wl in ("calibration", "superstep", "cc_full", f"pagerank{PR_ITERS}"):
-        t_lo = results[lo][wl]["wall_sec"]
-        t_hi = results[hi][wl]["wall_sec"]
-        eff[wl] = round((t_lo / t_hi) / factor, 3)
-    # normalize to the hardware ceiling measured by the calibration probe:
-    # a value of 1.0 means the workload scales exactly as well as a single
-    # fully parallel shuffle pass can on this box
-    ceiling = eff["calibration"]
-    eff_norm = {
-        wl: round(min(eff[wl] / ceiling, 1.0) if ceiling > 0 else 0.0, 3)
-        for wl in ("superstep", "cc_full", f"pagerank{PR_ITERS}")
-    }
+    workloads = ("calibration", "superstep", "cc_full", f"pagerank{PR_ITERS}")
+    runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "1"))
+
+    run_payloads = []
+    for run_idx in range(runs):
+        results = {}
+        for cpus in LEVELS:
+            out = os.path.join(WORK, f"result_r{run_idx}_local{cpus}.json")
+            print(f"[scaling] run {run_idx} local[{cpus}] ...", file=sys.stderr)
+            t0 = time.time()
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "worker",
+                 "--cpus", str(cpus), "--input", edges_dir, "--out", out],
+                check=True, cwd=REPO,
+            )
+            with open(out) as f:
+                results[cpus] = json.load(f)
+            print(f"[scaling] run {run_idx} local[{cpus}] done in "
+                  f"{time.time()-t0:.0f}s", file=sys.stderr)
+
+        eff = {}
+        for wl in workloads:
+            t_lo = results[lo][wl]["wall_sec"]
+            t_hi = results[hi][wl]["wall_sec"]
+            eff[wl] = round((t_lo / t_hi) / factor, 3)
+        # RUN-MATCHED normalization (VERDICT r2 #4): each workload's
+        # efficiency divided by the SAME run's calibration efficiency —
+        # never a pooled/other-run ceiling — and UNCLAMPED (ADVICE r2):
+        # values > 1.0 are reported as measured, any display cap belongs in
+        # rendering, not the stored measurement
+        ceiling = eff["calibration"]
+        eff_norm = {
+            wl: round(eff[wl] / ceiling, 3) if ceiling > 0 else 0.0
+            for wl in workloads if wl != "calibration"
+        }
+        run_payloads.append(
+            {"levels": {str(k): v for k, v in results.items()},
+             "scaling_efficiency": eff,
+             "run_matched_normalized": eff_norm}
+        )
+
+    summary = {}
+    for wl in workloads:
+        raw = [r["scaling_efficiency"][wl] for r in run_payloads]
+        entry = {"raw_all": raw, "raw_median": round(_median(raw), 3)}
+        if wl != "calibration":
+            norm = [r["run_matched_normalized"][wl] for r in run_payloads]
+            entry["norm_all"] = norm
+            entry["norm_median"] = round(_median(norm), 3)
+        summary[wl] = entry
 
     payload = {
         "input": info,
-        "levels": {str(k): v for k, v in results.items()},
-        "scaling_efficiency": eff,
-        "scaling_efficiency_normalized_to_calibration": eff_norm,
+        "runs": run_payloads,
+        "summary": summary,
         "protocol": (
             f"same parquet input, fresh JVM per level, local[{lo}] vs "
             f"local[{hi}], shuffle_partitions=2*cores, min of {REPS} reps "
-            "per workload (per-core throughput on this VM degrades with "
-            "active-core count - a fully parallel phase measures ~0.73 at "
-            "4-vs-16 from memory-bandwidth/frequency scaling alone - so "
-            "2-vs-8 is the widest 4x spread that measures the engine, not "
-            "the VM power curve)"
+            f"per workload per run, {runs} full protocol run(s); normalized "
+            "values are run-matched (workload eff / the SAME run's "
+            "calibration eff) and unclamped. Per-core throughput on this VM "
+            "degrades with active-core count - a fully parallel phase "
+            "measures ~0.73 at 4-vs-16 from memory-bandwidth/frequency "
+            "scaling alone - so 2-vs-8 is the widest 4x spread that "
+            "measures the engine, not the VM power curve"
         ),
     }
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(payload, f, indent=2)
-    print(json.dumps(payload["scaling_efficiency"]))
+    print(json.dumps(summary))
 
 
 def main() -> None:

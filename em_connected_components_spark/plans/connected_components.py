@@ -200,6 +200,12 @@ def _pointer_jump_chained(
     `passes` chains (depth steps*passes) any pathological remainder (path
     graphs) falls back to `_pointer_jump` doubling, keeping the O(log depth)
     worst case.
+
+    ``broadcast_parents=False`` keeps the same probe chain as shuffle joins;
+    measured SLOWER than plain path doubling at every tested shape
+    (BENCH/jump_ab.json), so the CC driver only calls this with broadcast
+    probes — the shuffle variant remains for the A/B bench and as the
+    explicit fallback shape.
     """
     # the probe map only needs rows whose node actually OCCURS as a comp
     # value (every probe key is a comp value by induction) — on hub-heavy
@@ -465,13 +471,20 @@ def connected_components(
             if n_before <= jump_local_threshold:
                 round_labels = _pointer_jump_local(parents).persist()
                 round_labels.count()  # materialize before dropping parents
-            else:
-                # self-cached + counted; broadcast probes when the parent
-                # table fits the relabel broadcast budget, shuffle joins above
+            elif n_before <= broadcast_threshold_rows:
+                # self-cached + counted; single-job broadcast probes while
+                # the parent table fits the broadcast budget
                 round_labels = _pointer_jump_chained(
-                    parents,
-                    broadcast_parents=n_before <= broadcast_threshold_rows,
+                    parents, broadcast_parents=True
                 )
+            else:
+                # MEASURED rule (tools/bench_jump.py, BENCH/jump_ab.json):
+                # above the broadcast bound plain path doubling beats the
+                # chained shuffle probes ~2x on both the real s23 hook
+                # forest (14.4s vs 28.5s) and depth-64 chains (45s vs 75s) —
+                # 8 chained shuffle joins + flag join per pass lose to
+                # log(depth) self-joins once every probe is an exchange
+                round_labels = _pointer_jump(parents)
 
         do_broadcast = n_before <= broadcast_threshold_rows
         heavy: list[tuple[int, int]] = []

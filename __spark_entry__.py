@@ -143,6 +143,19 @@ def _q_cc_bundles_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("node")
 
 
+def _q_cc_doubling_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # the ABOVE-THE-BROADCAST-BOUND jump plan (path doubling — the measured
+    # winner over chained shuffle probes, BENCH/jump_ab.json): forcing both
+    # the broadcast bound and the local-jump threshold to 0 routes every
+    # round's pointer jumping through _pointer_jump's log(depth) self-joins;
+    # identical labels, same recursive-CTE oracle
+    edges = tbl.edges_customer_nation(spark, sf)
+    return connected_components(
+        edges, small_graph_threshold=0, jump_local_threshold=0,
+        broadcast_threshold_rows=0,
+    ).orderBy("node")
+
+
 def _q_pagerank_spmv_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
     # the CSR gather-scatter pandas-UDF executor — same update rule, same
     # unrolled-SQL oracle as the DataFrame PageRank
@@ -433,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_kkt_customer_nation": _q_cc_kkt_customer_nation,
         "cc_star_customer_nation": _q_cc_star_customer_nation,
         "cc_bundles_customer_nation": _q_cc_bundles_customer_nation,
+        "cc_doubling_customer_nation": _q_cc_doubling_customer_nation,
         "pagerank_spmv_customer_nation": _q_pagerank_spmv_customer_nation,
         "lp_customer_nation": _q_lp_customer_nation,
         "triangles_lineitem": _q_triangles_lineitem,
@@ -870,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_kkt_customer_nation": _cc_oracle(_EDGES_CN),
         "cc_star_customer_nation": _cc_oracle(_EDGES_CN),
         "cc_bundles_customer_nation": _cc_oracle(_EDGES_CN),
+        "cc_doubling_customer_nation": _cc_oracle(_EDGES_CN),
         "tpch_q1": """
           SELECT l_returnflag, l_linestatus,
                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -129,6 +129,17 @@ def _pointer_jump(parents: DataFrame, max_iters: int = 64) -> DataFrame:
     return p
 
 
+def _release_jump_cache(df: DataFrame) -> None:
+    """Unpersist a round-labels table: drops the DataFrame's own storage AND
+    the internal cache a chained-jump projection is backed by (attached as
+    ``_emcc_backing_cache`` — the projection itself is never persisted, so a
+    plain unpersist() on it would leak the backing table)."""
+    backing = getattr(df, "_emcc_backing_cache", None)
+    if backing is not None:
+        backing.unpersist()
+    df.unpersist()  # no-op when df itself carries no storage
+
+
 def _single_task_map(
     df: DataFrame, fn, out_cols: tuple[str, str], out_partitions: int = 0
 ) -> DataFrame:
@@ -255,13 +266,14 @@ def _pointer_jump_chained(
         prev_cache = c
         cur = c
         if pending == 0:
-            # hand back a SELF-persisted projection: Spark uncaches only on a
-            # same-plan match, so returning a bare select() of the cached c
-            # would make the caller's unpersist() a no-op and leak one n-row
-            # cached table (plus __done) per superstep
-            out = cur.select("node", "comp").persist()
-            out.count()  # materialize (cache-to-cache copy) before dropping c
-            prev_cache.unpersist()
+            # the projection reads through c's cache; re-persisting it would
+            # copy the n-row table for nothing (measured ~15% of superstep
+            # wall), while returning it bare would leak c — Spark uncaches
+            # only on a same-plan match, so the caller's unpersist() would
+            # no-op. Hand the cache handle along instead; callers release
+            # via _release_jump_cache.
+            out = cur.select("node", "comp")
+            out._emcc_backing_cache = prev_cache
             return out
     # pathological depth (> steps*passes): finish with path doubling
     out = _pointer_jump(cur.select("node", "comp"), max_iters)
@@ -443,7 +455,7 @@ def connected_components(
             # task reads from
             labels = labels.localCheckpoint(eager=True)
             if held_labels_cache is not None:
-                held_labels_cache.unpersist()
+                _release_jump_cache(held_labels_cache)
                 held_labels_cache = None
             metrics.add(
                 round=rnd, kind="unionfind_finish", m=m,
@@ -546,7 +558,7 @@ def connected_components(
                 metrics={"m": m, "n_nodes": n_before,
                          "broadcast": do_broadcast, "kind": strategy},
             )
-            round_labels.unpersist()  # labels now parquet-backed
+            _release_jump_cache(round_labels)  # labels now parquet-backed
         else:
             e_next = e_next.localCheckpoint(eager=True)
             if first_round:
@@ -556,9 +568,9 @@ def connected_components(
                 held_labels_cache = round_labels
             else:
                 labels = labels.localCheckpoint(eager=True)
-                round_labels.unpersist()
+                _release_jump_cache(round_labels)
                 if held_labels_cache is not None:
-                    held_labels_cache.unpersist()
+                    _release_jump_cache(held_labels_cache)
                     held_labels_cache = None
 
         e.unpersist()

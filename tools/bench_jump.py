@@ -44,6 +44,7 @@ def main() -> None:
         _hook_parents,
         _pointer_jump,
         _pointer_jump_chained,
+        _release_jump_cache,
     )
     from em_connected_components_spark.session import get_spark, warmup
     from em_connected_components_spark.sources import generators as gen
@@ -84,7 +85,7 @@ def main() -> None:
         out = fn(parents)
         out.count()
         dt = time.time() - t0
-        out.unpersist()
+        _release_jump_cache(out)
         return round(dt, 2)
 
     strategies = {

@@ -189,6 +189,19 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
         dt = time.time() - t0
         return {"wall_sec": round(dt, 2)}
 
+    def reset_caches() -> None:
+        # HONESTY GUARD (found in round 3): Spark's cache manager matches
+        # structurally-identical plans, so any cache a previous rep left
+        # behind (e.g. the engine returns its label cache when stopped at
+        # max_rounds) gets silently REUSED by the next rep's identical
+        # plan — round-2's leaked jump cache made superstep reps ~6s
+        # artificially fast. Clear everything between reps and re-stage the
+        # input cache untimed.
+        spark.catalog.clearCache()
+        nonlocal edges
+        edges = edges.persist()
+        edges.count()
+
     # one untimed warmup pass: JIT-compile the hook/contract code paths and
     # touch every cached partition, so rep0 isn't systematically slower
     w = run_superstep()
@@ -200,6 +213,7 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
                      (f"pagerank{PR_ITERS}", run_pagerank)):
         runs = []
         for rep in range(REPS):
+            reset_caches()
             r = fn()
             runs.append(r)
             print(f"[worker {cpus}] {name} rep{rep}: {r['wall_sec']}s",
@@ -299,7 +313,11 @@ def orchestrate() -> None:
         "protocol": (
             f"same parquet input, fresh JVM per level, local[{lo}] vs "
             f"local[{hi}], shuffle_partitions=2*cores, min of {REPS} reps "
-            f"per workload per run, {runs} full protocol run(s); normalized "
+            f"per workload per run, {runs} full protocol run(s), "
+            "spark.catalog.clearCache() + untimed input re-stage between "
+            "reps (prevents plan-identical cache reuse across reps — a "
+            "round-2 leak let the jump phase ride the previous rep's cache, "
+            "flattering superstep times at both levels); normalized "
             "values are run-matched (workload eff / the SAME run's "
             "calibration eff) and unclamped. Per-core throughput on this VM "
             "degrades with active-core count - a fully parallel phase "

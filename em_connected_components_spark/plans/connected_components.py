@@ -188,6 +188,48 @@ def _single_task_map(
     return out
 
 
+def _pointer_jump_targets(
+    parents: DataFrame,
+    targets: DataFrame,
+    *,
+    broadcast_resolved: bool = True,
+) -> DataFrame:
+    """Jump via the comp-closure: solve roots for the DISTINCT comp values
+    only, then apply them to every node with ONE probe join.
+
+    Chains only ever pass through nodes that occur as a comp value (each hop
+    lands on some row's comp), and that target set T is closed under the
+    parent map (a target's own comp is again a comp value), so the root of
+    every node is root_T(P[node]) where root_T is the fixpoint of P
+    restricted to T. On hub-heavy graphs |T| << n (773k of 4.6M on the s23
+    bench graph) — small enough for the single-task numpy kernel long after
+    the full table outgrew it. Replaces the chained-probe plan's K broadcast
+    probes + convergence agg with one tiny fixed-cost kernel task (fixpoint
+    exact by construction — no pending check, no fallback pass) and one
+    fully parallel probe join; measured superstep phase eff 2-vs-8 went
+    0.52 -> (see BENCH/scaling.json) with this path.
+
+    ``targets`` must be the distinct comp values as a (node) column (the
+    dispatcher computes+counts it anyway to pick this path).
+    """
+    from ..operators.numpy_cc import jump_to_roots_numpy
+
+    p_t = parents.join(targets, on="node", how="left_semi")
+    resolved = _single_task_map(
+        p_t.select("node", "comp"), jump_to_roots_numpy, ("node", "comp")
+    )
+    r = resolved.select(F.col("node").alias("__t"), F.col("comp").alias("__r"))
+    if broadcast_resolved:
+        r = F.broadcast(r)
+    out = (
+        parents.join(r, on=parents["comp"] == r["__t"], how="left")
+        .select("node", F.coalesce("__r", "comp").alias("comp"))
+        .persist()
+    )
+    out.count()
+    return out
+
+
 def _pointer_jump_chained(
     parents: DataFrame,
     *,
@@ -195,6 +237,7 @@ def _pointer_jump_chained(
     passes: int = 2,
     broadcast_parents: bool = True,
     max_iters: int = 64,
+    targets: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve parent chains by `steps` chained probes of the ORIGINAL
     depth-1 map inside ONE Spark job.
@@ -222,11 +265,13 @@ def _pointer_jump_chained(
     # value (every probe key is a comp value by induction) — on hub-heavy
     # graphs this shrinks the broadcast build ~6x (773k of 4.6M rows on the
     # s23 bench graph); non-root rows only would not shrink it (most nodes
-    # are non-roots), target-filtering does
-    targets = parents.select(F.col("comp").alias("__t")).distinct()
-    P = parents.join(
-        targets, on=parents["node"] == targets["__t"], how="left_semi"
-    ).select(F.col("node").alias("__pn"), F.col("comp").alias("__pc"))
+    # are non-roots), target-filtering does. The dispatcher passes its
+    # already-computed target set in; direct/bench callers let us derive it.
+    if targets is None:
+        targets = parents.select(F.col("comp").alias("node")).distinct()
+    P = parents.join(targets, on="node", how="left_semi").select(
+        F.col("node").alias("__pn"), F.col("comp").alias("__pc")
+    )
     Pb = F.broadcast(P) if broadcast_parents else P
     cur = parents
     prev_cache: DataFrame | None = None
@@ -302,6 +347,66 @@ def _pointer_jump_local(parents: DataFrame) -> DataFrame:
         ("node", "comp"),
         out_partitions=sp,
     )
+
+
+def _dispatch_jump(
+    parents: DataFrame,
+    n_before: int,
+    *,
+    jump_local_threshold: int,
+    broadcast_threshold_rows: int,
+    t_est: int | None = None,
+) -> DataFrame:
+    """Pick the pointer-jump plan by the measured size rule and return the
+    materialized (node, comp) root labels.
+
+    The plans and their crossovers (tools/bench_jump.py, BENCH/jump_ab.json,
+    tools/profile_superstep.py):
+    * ``n <= jump_local_threshold``: single-task numpy path doubling — one
+      task beats per-job scheduling overhead below ~2M rows;
+    * ``|distinct comps| <= jump_local_threshold``: targets-reduced jump —
+      solve the comp-closure (typically ~6x smaller than n) in one numpy
+      task, apply with one parallel probe join. The preferred big-graph
+      plan: its only non-parallel work is the tiny kernel task + one
+      broadcast build, vs the chained plan's K probes + convergence agg
+      (measured phase eff 0.52 at 2-vs-8 cores for chained on the s23
+      graph — the superstep's dominant serial slice);
+    * ``n <= broadcast_threshold_rows``: chained broadcast probes — one job,
+      zero shuffles, while the depth-1 map fits the broadcast budget;
+    * above all: distributed path doubling — chained shuffle probes lose
+      ~2x once every probe is an exchange.
+
+    ``t_est``: size of the distinct-comp target set. The CC loop reads it as
+    ``approx_count_distinct(comp)`` from the SAME aggregation job that counts
+    the parent table (one driver round-trip serves both numbers — a pure
+    serial-fraction saving); pass None to have it counted exactly here. It
+    only picks a plan, so the ±few-% HLL error is harmless: every branch is
+    exact.
+
+    Every branch returns a persisted+materialized table; release it with
+    `_release_jump_cache` (the chained branch hands its backing cache along).
+    Shared by the CC driver loop and tools/profile_superstep.py so profiles
+    measure the plan production runs.
+    """
+    if n_before <= jump_local_threshold:
+        round_labels = _pointer_jump_local(parents).persist()
+        round_labels.count()  # materialize before callers drop parents
+        return round_labels
+    targets = parents.select(F.col("comp").alias("node")).distinct()
+    if t_est is None:
+        t_est = targets.count()
+    if t_est <= jump_local_threshold:
+        return _pointer_jump_targets(
+            parents, targets,
+            broadcast_resolved=t_est <= broadcast_threshold_rows,
+        )
+    if n_before <= broadcast_threshold_rows:
+        # self-cached + counted; single-job broadcast probes while the
+        # parent table fits the broadcast budget
+        return _pointer_jump_chained(
+            parents, broadcast_parents=True, targets=targets
+        )
+    return _pointer_jump(parents)
 
 
 def _union_find_finish(edges: DataFrame) -> DataFrame:
@@ -478,25 +583,20 @@ def connected_components(
             n_before = round_labels.count()
         else:
             parents_full = _hook_parents(e).persist()
-            n_before = parents_full.count()  # jumping preserves the row count
+            # ONE job fills the cache and returns both dispatch inputs:
+            # the node count (jumping preserves it) and the approximate
+            # distinct-comp count (picks the targets-reduced jump plan)
+            stats = parents_full.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("comp").alias("t"),
+            ).collect()[0]
+            n_before, t_est = stats["n"], stats["t"]
             parents = parents_full.select("node", "comp")
-            if n_before <= jump_local_threshold:
-                round_labels = _pointer_jump_local(parents).persist()
-                round_labels.count()  # materialize before dropping parents
-            elif n_before <= broadcast_threshold_rows:
-                # self-cached + counted; single-job broadcast probes while
-                # the parent table fits the broadcast budget
-                round_labels = _pointer_jump_chained(
-                    parents, broadcast_parents=True
-                )
-            else:
-                # MEASURED rule (tools/bench_jump.py, BENCH/jump_ab.json):
-                # above the broadcast bound plain path doubling beats the
-                # chained shuffle probes ~2x on both the real s23 hook
-                # forest (14.4s vs 28.5s) and depth-64 chains (45s vs 75s) —
-                # 8 chained shuffle joins + flag join per pass lose to
-                # log(depth) self-joins once every probe is an exchange
-                round_labels = _pointer_jump(parents)
+            round_labels = _dispatch_jump(
+                parents, n_before, t_est=t_est,
+                jump_local_threshold=jump_local_threshold,
+                broadcast_threshold_rows=broadcast_threshold_rows,
+            )
 
         do_broadcast = n_before <= broadcast_threshold_rows
         heavy: list[tuple[int, int]] = []

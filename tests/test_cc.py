@@ -107,6 +107,64 @@ def test_local_vs_distributed_pointer_jump(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_targets_reduced_jump_agrees(spark):
+    # the targets-reduced jump (solve the comp-closure in one kernel task,
+    # apply with one probe join) must equal plain path doubling — including
+    # on a deep chain, where every node is also a target
+    from em_connected_components_spark.plans.connected_components import (
+        _pointer_jump,
+        _pointer_jump_targets,
+        _release_jump_cache,
+    )
+
+    # parent tables: a depth-20 chain, a star, and a hook forest from rMAT
+    chain = spark.createDataFrame(
+        [(i, max(i - 1, 0)) for i in range(20)], schema="node long, comp long"
+    )
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(50)] + [(0, 0)], schema="node long, comp long"
+    )
+    from em_connected_components_spark.plans.connected_components import (
+        _hook_parents,
+    )
+
+    forest = _hook_parents(
+        canonicalize(gen.rmat(spark, scale=8, edge_factor=4, seed=5))
+    ).select("node", "comp")
+
+    for parents in (chain, star, forest):
+        want = sorted(map(tuple, _pointer_jump(parents).collect()))
+        targets = parents.select(F.col("comp").alias("node")).distinct()
+        for bcast in (True, False):
+            got = _pointer_jump_targets(
+                parents, targets, broadcast_resolved=bcast
+            )
+            assert sorted(map(tuple, got.collect())) == want
+            _release_jump_cache(got)
+
+
+def test_targets_jump_route_in_cc(spark):
+    # route an end-to-end CC run through the targets-reduced branch: pick
+    # jump_local_threshold strictly between |targets| and n so the dispatch
+    # can only take the new path on round 0
+    from em_connected_components_spark.plans.connected_components import (
+        _hook_parents,
+    )
+
+    edges = canonicalize(gen.rmat(spark, scale=9, edge_factor=4, seed=8))
+    parents = _hook_parents(edges)
+    n = parents.count()
+    t = parents.select("comp").distinct().count()
+    assert t < n  # hook forests always shrink the comp set
+    thr = (t + n) // 2
+    edge_rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    labels = connected_components(
+        edges, small_graph_threshold=0, pre_canonicalized=True,
+        jump_local_threshold=thr,
+    )
+    assert _partition(labels) == python_union_find(edge_rows)
+
+
 def test_semi_external_switch_agrees(spark):
     # distributed-only vs union-find finish produce the same partition
     edges = canonicalize(gen.gilbert(spark, n=400, avg_degree=2.0, seed=11))

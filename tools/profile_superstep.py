@@ -1,8 +1,10 @@
 """Phase-level timing of one Boruvka superstep (diagnostic, not a benchmark).
 
-Breaks the superstep into its sequential driver actions — hook+count, jump,
-contract+checkpoint, next-edge count — so scaling work targets the measured
-serial fraction instead of guesses. Run on the scaling-bench input:
+Breaks the superstep into its sequential driver actions — hook+count, jump
+(via the SAME size-dispatched plan the production loop uses), contract +
+checkpoint, next-edge count — so scaling work targets the measured serial
+fraction instead of guesses. Run on the scaling-bench input at two levels to
+see which phase fails to speed up:
 
     python tools/profile_superstep.py [cpus] [edges_dir] [reps]
 """
@@ -28,10 +30,12 @@ def main() -> None:
 
     from em_connected_components_spark.session import get_spark, warmup
     from em_connected_components_spark.plans.connected_components import (
+        _dispatch_jump,
         _hook_parents,
-        _pointer_jump_local,
+        _release_jump_cache,
     )
     from em_connected_components_spark.operators.joins import contract
+    from em_connected_components_spark.tuning import broadcast_row_bound
 
     spark = get_spark(
         app_name=f"profile-superstep-{cpus}",
@@ -41,24 +45,38 @@ def main() -> None:
     warmup(spark)
     edges = spark.read.parquet(edges_dir).persist()
     m = edges.count()
-    print(f"[profile] cpus={cpus} m={m}", file=sys.stderr)
+    bcast_rows = broadcast_row_bound(spark)
+    print(f"[profile] cpus={cpus} m={m} broadcast_rows={bcast_rows}",
+          file=sys.stderr)
 
     for rep in range(reps):
+        spark.catalog.clearCache()
+        edges = edges.persist()
+        edges.count()  # untimed input re-stage (matches bench protocol)
+
         t = {}
         t0 = time.time()
         parents_full = _hook_parents(edges).persist()
-        n = parents_full.count()
+        from pyspark.sql import functions as F
+
+        stats = parents_full.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("comp").alias("t"),
+        ).collect()[0]
+        n, t_est = stats["n"], stats["t"]
         t["hook+count"] = time.time() - t0
 
         t0 = time.time()
-        parents = parents_full.select("node", "comp")
-        round_labels = _pointer_jump_local(parents).persist()
-        round_labels.count()
+        round_labels = _dispatch_jump(
+            parents_full.select("node", "comp"), n, t_est=t_est,
+            jump_local_threshold=2_000_000,
+            broadcast_threshold_rows=bcast_rows,
+        )
         parents_full.unpersist()
-        t["jump+materialize"] = time.time() - t0
+        t["jump"] = time.time() - t0
 
         t0 = time.time()
-        e_next = contract(edges, round_labels, broadcast_labels=True)
+        e_next = contract(edges, round_labels, broadcast_labels=n <= bcast_rows)
         e_next = e_next.localCheckpoint(eager=True)
         t["contract+checkpoint"] = time.time() - t0
 
@@ -71,7 +89,7 @@ def main() -> None:
             f"[profile] rep{rep} n={n} m_next={m_next} total={total:.2f}s  "
             + "  ".join(f"{k}={v:.2f}s" for k, v in t.items())
         )
-        round_labels.unpersist()
+        _release_jump_cache(round_labels)
 
     spark.stop()
 

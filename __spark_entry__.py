@@ -23,6 +23,7 @@ from em_connected_components_spark.functions import dedup_docs as dd
 from em_connected_components_spark.functions import similarity as sim
 from em_connected_components_spark.functions import text as tx
 from em_connected_components_spark.operators import aggregates as agg
+from em_connected_components_spark.operators import normalize as nrm
 from em_connected_components_spark.plans.connected_components import (
     connected_components,
 )
@@ -154,6 +155,16 @@ def _q_cc_doubling_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
         edges, small_graph_threshold=0, jump_local_threshold=0,
         broadcast_threshold_rows=0,
     ).orderBy("node")
+
+
+def _q_permute_ids_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # R5 random-id-permutation preprocessing (cpp/preprocess.cpp:21-45):
+    # rank-by-md5 permutation of the node set applied through the standard
+    # relabel joins, re-oriented. Deterministic under (seed, node set), so
+    # DuckDB reproduces the identical relabeled edge table bit-for-bit.
+    edges = tbl.edges_customer_nation(spark, sf)
+    out, _mapping = nrm.permute_node_ids(edges, seed=42)
+    return out.orderBy("src", "dst")
 
 
 def _q_pagerank_spmv_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
@@ -447,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star_customer_nation": _q_cc_star_customer_nation,
         "cc_bundles_customer_nation": _q_cc_bundles_customer_nation,
         "cc_doubling_customer_nation": _q_cc_doubling_customer_nation,
+        "permute_ids_customer_nation": _q_permute_ids_customer_nation,
         "pagerank_spmv_customer_nation": _q_pagerank_spmv_customer_nation,
         "lp_customer_nation": _q_lp_customer_nation,
         "triangles_lineitem": _q_triangles_lineitem,
@@ -885,6 +897,28 @@ def oracle_sql() -> dict[str, str]:
         "cc_star_customer_nation": _cc_oracle(_EDGES_CN),
         "cc_bundles_customer_nation": _cc_oracle(_EDGES_CN),
         "cc_doubling_customer_nation": _cc_oracle(_EDGES_CN),
+        "permute_ids_customer_nation": f"""
+          WITH e AS ({_EDGES_CN}),
+          nodes AS (
+            SELECT DISTINCT node FROM (
+              SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+            )
+          ),
+          perm AS (
+            SELECT node,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY md5('42:' || CAST(node AS VARCHAR)), node
+                   ) AS BIGINT) AS new_id
+            FROM nodes
+          ),
+          rel AS (
+            SELECT ps.new_id AS s, pd.new_id AS d
+            FROM e
+            JOIN perm ps ON e.src = ps.node
+            JOIN perm pd ON e.dst = pd.node
+          )
+          SELECT LEAST(s, d) AS src, GREATEST(s, d) AS dst FROM rel
+        """,
         "tpch_q1": """
           SELECT l_returnflag, l_linestatus,
                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

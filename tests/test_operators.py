@@ -167,3 +167,73 @@ def test_edge_catalog_parquet_roundtrip(spark, tmp_path):
     )
     cat.append(gen.matching(spark, 5))
     assert cat.read().count() == 99 + 5
+
+
+# ---------------------------------------------------------------------------
+# R5: random id permutation (cpp/preprocess.cpp:21-45)
+# ---------------------------------------------------------------------------
+
+
+def test_permute_node_ids_bijection_and_determinism(spark):
+    from em_connected_components_spark.operators.normalize import (
+        permute_node_ids,
+    )
+
+    # sparse, non-dense ids on purpose: the permutation must land on 1..n
+    e = _edges(
+        spark,
+        [(10, 20), (20, 30), (100, 200), (300, 400), (400, 500), (999, 10)],
+    )
+    out, mapping = permute_node_ids(e, seed=7)
+    m = {r["node"]: r["new_id"] for r in mapping.collect()}
+    n = len(m)
+    assert sorted(m.values()) == list(range(1, n + 1))  # bijection onto 1..n
+
+    # relabeled edges are exactly the original edges mapped + re-oriented
+    got = sorted((r["src"], r["dst"]) for r in out.collect())
+    want = sorted(
+        (min(m[a], m[b]), max(m[a], m[b]))
+        for a, b in [(10, 20), (20, 30), (100, 200), (300, 400), (400, 500), (999, 10)]
+    )
+    assert got == want
+    assert all(s < d for s, d in got)  # re-oriented (preprocess.cpp:40-43)
+
+    # pure function of (seed, node set): a rerun agrees row-for-row
+    _, mapping2 = permute_node_ids(e, seed=7)
+    assert {r["node"]: r["new_id"] for r in mapping2.collect()} == m
+    # and a different seed gives a different permutation of the same range
+    _, mapping3 = permute_node_ids(e, seed=8)
+    m3 = {r["node"]: r["new_id"] for r in mapping3.collect()}
+    assert sorted(m3.values()) == list(range(1, n + 1))
+    assert m3 != m
+
+
+def test_permute_node_ids_preserves_cc_partition(spark):
+    from em_connected_components_spark.operators.normalize import (
+        permute_node_ids,
+    )
+    from em_connected_components_spark.plans.connected_components import (
+        connected_components,
+    )
+
+    shifted_path = gen.path(spark, n=7).select(
+        (F.col("src") + 1000).alias("src"), (F.col("dst") + 1000).alias("dst")
+    )
+    e = gen.cliques(spark, k=4, count=3).unionAll(shifted_path)
+    out, mapping = permute_node_ids(e, seed=42)
+    lab_direct = connected_components(e, small_graph_threshold=0)
+    lab_perm = connected_components(out, small_graph_threshold=0)
+
+    # pull labels back through the mapping: partition must be identical
+    m = {r["node"]: r["new_id"] for r in mapping.collect()}
+    direct = {r["node"]: r["comp"] for r in lab_direct.collect()}
+    perm = {r["node"]: r["comp"] for r in lab_perm.collect()}
+    groups_direct = {}
+    for node, comp in direct.items():
+        groups_direct.setdefault(comp, set()).add(m[node])
+    groups_perm = {}
+    for node, comp in perm.items():
+        groups_perm.setdefault(comp, set()).add(node)
+    assert sorted(map(sorted, groups_direct.values())) == sorted(
+        map(sorted, groups_perm.values())
+    )

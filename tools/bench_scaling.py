@@ -80,7 +80,7 @@ def _session(cpus: int, tag: str):
 # prepare: generate the input ONCE, write parquet (identical bytes for both runs)
 # ---------------------------------------------------------------------------
 
-def prepare(edges_dir: str) -> dict:
+def prepare_worker(edges_dir: str, out_path: str) -> None:
     from em_connected_components_spark.operators.normalize import canonicalize
     from em_connected_components_spark.sources import generators as gen
 
@@ -99,7 +99,25 @@ def prepare(edges_dir: str) -> dict:
         "prepare_sec": round(time.time() - t0, 1),
     }
     spark.stop()
-    return info
+    with open(out_path, "w") as f:
+        json.dump(info, f)
+
+
+def prepare(edges_dir: str) -> dict:
+    # Run in a SUBPROCESS: spark.stop() stops the SparkContext but the Py4J
+    # gateway JVM (sized local[24]/48g here) lives until the owning Python
+    # process exits. Running prepare in-process would park that idle JVM —
+    # tens of GB of heap plus background GC — alongside every subsequent
+    # measurement worker (observed: a leaked prepare JVM at ~40% CPU for the
+    # whole protocol). A child process takes the JVM down with it.
+    out = os.path.join(WORK, "prepare_info.json")
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "prepare",
+         "--input", edges_dir, "--out", out],
+        check=True, cwd=REPO,
+    )
+    with open(out) as f:
+        return json.load(f)
 
 
 # ---------------------------------------------------------------------------
@@ -340,6 +358,8 @@ def main() -> None:
     args = ap.parse_args()
     if args.mode == "worker":
         worker(args.cpus, args.input, args.out)
+    elif args.mode == "prepare":
+        prepare_worker(args.input, args.out)
     else:
         orchestrate()
 

@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Timed repetitions per query; the reported figure is the MIN (the standard
+# contention-free estimator — this VM shows 2-4x noisy-neighbor swings on
+# identical runs, BENCH/machine_drift.json). All rep walls are reported too.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 
 def main() -> None:
@@ -66,13 +70,23 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     timings: dict[str, float] = {}
+    reps_detail: dict[str, list[float]] = {}
     detail: dict[str, object] = {}
 
     def bench(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        walls = []
+        for _ in range(REPS):
+            # same honesty guard as tools/bench_scaling.py: drop any cache a
+            # previous rep left behind so a structurally-identical plan can't
+            # silently ride it (Spark's cache manager matches by plan)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn()
+            walls.append(round(time.time() - t0, 3))
+        timings[name] = min(walls)
+        reps_detail[name] = walls
+        print(f"[bench] {name}: {timings[name]}s (reps: {walls})",
+              file=sys.stderr, flush=True)
 
     # 1. connected components on the sf lineitem bipartite graph
     def run_cc():
@@ -180,6 +194,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": SF_DIR,
                 "cpus": CPUS,
+                "estimator": f"min of {REPS} timed reps per query "
+                             "(cache cleared between reps)",
+                "rep_walls": reps_detail,
                 "detail": detail,
             }
         )

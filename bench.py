@@ -196,6 +196,13 @@ def main() -> None:
                 "cpus": CPUS,
                 "estimator": f"min of {REPS} timed reps per query "
                              "(cache cleared between reps)",
+                "machine_note": "absolute walls are machine-dependent: "
+                                "BENCH/machine_drift.json records a "
+                                "controlled same-day A/B showing this "
+                                "round's VM instance ~3x slower and far "
+                                "noisier than the one that produced "
+                                "BENCH_r02 (round-2 code re-measured "
+                                "today: 112s vs 36.8s recorded)",
                 "rep_walls": reps_detail,
                 "detail": detail,
             }

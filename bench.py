@@ -7,8 +7,20 @@ Runs on local[$SPARK_GRAFT_CPUS] against $SPARK_GRAFT_SF_DIR (default
 
 Headline set mirrors BASELINE.json's metric definition: the Boruvka CC
 superstep throughput (edges/sec, reported in "detail") plus the other
-algorithm/pipeline heads. Scaling-efficiency evidence (local[8] vs local[32])
-is produced by tools/bench_scaling.py and recorded in BENCH/BASELINE.md.
+algorithm/pipeline heads. Scaling-efficiency evidence (two parallelism
+levels) is produced by tools/bench_scaling.py and recorded in
+BENCH/BASELINE.md.
+
+Estimator (round-4 hardening, ADVICE r3): 3 timed reps per query with the
+cache cleared between reps; the reported figure is the MIN (the standard
+contention-free estimator — this VM shows 2-4x noisy-neighbor swings on
+identical runs, BENCH/machine_drift.json). Every rep wall is recorded
+(rep_walls), per-query detail is captured from the SAME rep the reported
+wall came from, queries whose rep spread exceeds 2x are flagged
+machine-noise-suspect, and per-rep run totals (sum of rep i across queries)
+are emitted so cross-round total comparisons can be like-for-like: "value"
+remains the sum of per-query minima — a composite no single run achieved —
+and "rep_totals" carries the actual run walls.
 """
 
 from __future__ import annotations
@@ -22,10 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# Timed repetitions per query; the reported figure is the MIN (the standard
-# contention-free estimator — this VM shows 2-4x noisy-neighbor swings on
-# identical runs, BENCH/machine_drift.json). All rep walls are reported too.
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+NOISE_SPREAD = 2.0  # max/min rep ratio above which a query is flagged
 
 
 def main() -> None:
@@ -72,19 +82,31 @@ def main() -> None:
     timings: dict[str, float] = {}
     reps_detail: dict[str, list[float]] = {}
     detail: dict[str, object] = {}
+    noise_suspect: list[str] = []
 
     def bench(name: str, fn) -> None:
-        walls = []
+        """fn() runs the query and returns its detail payload (or None).
+        Detail is kept from the rep that produced the reported (min) wall —
+        never from a later rep (ADVICE r3: a last-rep detail can disagree
+        with the headline seconds it sits next to)."""
+        walls: list[float] = []
+        details: list[object] = []
         for _ in range(REPS):
             # same honesty guard as tools/bench_scaling.py: drop any cache a
             # previous rep left behind so a structurally-identical plan can't
             # silently ride it (Spark's cache manager matches by plan)
             spark.catalog.clearCache()
             t0 = time.time()
-            fn()
+            d = fn()
             walls.append(round(time.time() - t0, 3))
-        timings[name] = min(walls)
+            details.append(d)
+        best = min(range(len(walls)), key=lambda i: walls[i])
+        timings[name] = walls[best]
         reps_detail[name] = walls
+        if details[best] is not None:
+            detail[name] = details[best]
+        if max(walls) / max(min(walls), 1e-9) > NOISE_SPREAD:
+            noise_suspect.append(name)
         print(f"[bench] {name}: {timings[name]}s (reps: {walls})",
               file=sys.stderr, flush=True)
 
@@ -101,7 +123,7 @@ def main() -> None:
         supersteps = [
             r for r in metrics.rounds if r["kind"] == "boruvka_superstep"
         ]
-        detail["cc_lineitem"] = {
+        return {
             "n_components": n_comp,
             "rounds_to_convergence": len(metrics.rounds),
             "superstep_edges_per_sec": [
@@ -124,7 +146,7 @@ def main() -> None:
         supersteps = [
             r for r in metrics.rounds if r["kind"] == "boruvka_superstep"
         ]
-        detail["cc_rmat_s19"] = {
+        return {
             "alg_sec": round(time.time() - t0, 3),
             "rounds_to_convergence": len(metrics.rounds),
             "superstep_edges_per_sec": [
@@ -152,7 +174,7 @@ def main() -> None:
 
     # 5. triangle counting on the tripartite lineitem graph
     def run_tri():
-        detail["triangles_lineitem"] = triangles_count(
+        return triangles_count(
             tbl.edges_tripartite(spark, SF_DIR)
         ).collect()[0]["n_triangles"]
 
@@ -161,9 +183,7 @@ def main() -> None:
     # 6. minhash near-dup pipeline over documents
     def run_dedup():
         docs = tbl.load_table(spark, SF_DIR, "documents")
-        detail["minhash_pairs"] = dd.minhash_near_duplicates(
-            docs, threshold=0.2
-        ).count()
+        return dd.minhash_near_duplicates(docs, threshold=0.2).count()
 
     bench("minhash_dedup_docs", run_dedup)
 
@@ -185,6 +205,10 @@ def main() -> None:
     bench("tpch_q1", run_q1)
 
     total = round(sum(timings.values()), 3)
+    rep_totals = [
+        round(sum(reps_detail[q][i] for q in timings), 3)
+        for i in range(REPS)
+    ]
     print(
         json.dumps(
             {
@@ -195,15 +219,22 @@ def main() -> None:
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "estimator": f"min of {REPS} timed reps per query "
-                             "(cache cleared between reps)",
+                             "(cache cleared between reps); 'value' is the "
+                             "sum of per-query minima — a composite no "
+                             "single run achieved; 'rep_totals' holds the "
+                             "actual per-rep run totals for like-for-like "
+                             "cross-round comparison",
                 "machine_note": "absolute walls are machine-dependent: "
                                 "BENCH/machine_drift.json records a "
-                                "controlled same-day A/B showing this "
-                                "round's VM instance ~3x slower and far "
+                                "controlled same-day A/B showing the "
+                                "round-3 VM instance ~3x slower and far "
                                 "noisier than the one that produced "
                                 "BENCH_r02 (round-2 code re-measured "
-                                "today: 112s vs 36.8s recorded)",
+                                "then: 112s vs 36.8s recorded)",
                 "rep_walls": reps_detail,
+                "rep_totals": rep_totals,
+                "noise_suspect": sorted(noise_suspect),
+                "noise_rule": f"rep spread (max/min) > {NOISE_SPREAD}x",
                 "detail": detail,
             }
         )

@@ -21,17 +21,31 @@ has noisy-neighbor steal; min is the standard contention-free estimator).
 
 Workloads mirror the headline metrics: one Boruvka superstep
 (hook -> pointer-jump -> contract), full CC to convergence (rounds +
-edges/sec), and PageRank power iterations. A CALIBRATION workload (one
-fully parallel hook-shaped map+shuffle+agg pass, no iteration, no driver
-serial structure) measures the box's own scaling ceiling: in-box cores share
-DRAM bandwidth, so even a perfectly parallel shuffle pass cannot reach 1.0
-here, while on a real N-vs-4N EXECUTOR cluster (the north_rule's setting)
-bandwidth scales with executor count. scaling.json therefore reports each
-workload raw AND normalized to the calibration ceiling; the normalized
-number is the engine's own scaling behavior.
+edges/sec), and PageRank power iterations.
+
+Round-4 protocol (VERDICT r3 #1 + ADVICE r3): every workload is BRACKETED by
+a calibration probe (one fully parallel hook-shaped map+shuffle+agg pass with
+zero iterative or driver-serial structure) run immediately BEFORE and
+immediately AFTER its reps, at each level. The probe measures the box's own
+scaling ceiling at that moment: in-box cores share DRAM bandwidth, so even a
+perfectly parallel pass cannot reach 1.0 here, while on a real N-vs-4N
+EXECUTOR cluster (the north_rule's setting) bandwidth scales with executor
+count. Each workload's normalization denominator is its OWN matched brackets
+(min of before/after per level), so a transient host-slow window during one
+workload is absorbed by the probes that surround it — round 3's one-run
+collapse happened exactly because the single per-run calibration ran outside
+the slow window its superstep ran inside.
+
+PRE-REGISTERED VALIDITY CRITERION (fixed before round-4 data was taken): a
+workload measurement in a run is VALID iff at BOTH levels its before/after
+calibration probes agree within 25% (max/min <= 1.25); invalid measurements
+are stored with their bracket ratios but excluded from the summary medians.
+The default protocol is 5 full runs (SPARK_GRAFT_SCALING_RUNS); scaling.json
+is rewritten after every completed run so an interrupted protocol still
+leaves complete evidence for the runs that finished.
 
 Usage:
-    python tools/bench_scaling.py            # orchestrate: prepare + both runs
+    python tools/bench_scaling.py            # orchestrate: prepare + runs
     python tools/bench_scaling.py worker --cpus 4 --input DIR --out FILE
 
 Results land in BENCH/scaling.json; BENCH/BASELINE.md summarizes.
@@ -59,6 +73,8 @@ LEVELS = tuple(
     for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
 )
 PR_ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_PR_ITERS", "2"))
+RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "5"))
+BRACKET_TOL = 1.25  # pre-registered validity bound on before/after probes
 
 
 def _session(cpus: int, tag: str):
@@ -184,14 +200,12 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
         return {"wall_sec": round(dt, 2),
                 "edges_per_iter_per_sec": round(PR_ITERS * m / dt, 1)}
 
-    def run_calibration() -> dict:
+    def run_calibration() -> float:
         # hardware-ceiling probe: ONE fully parallel map+shuffle+agg pass
         # over the same input (the hook shape), with zero iterative or
-        # driver-serial structure. Its measured 2-vs-8 "efficiency" is the
-        # best ANY shuffle-bound Spark job can do on this shared-memory box
-        # (at 4N in-box cores the same DRAM bandwidth is split 4 ways; on a
-        # real 4N-executor cluster bandwidth scales with executors). The
-        # engine's workloads are reported raw AND normalized to this probe.
+        # driver-serial structure. Brackets every workload (before + after);
+        # the workload's normalization denominator and validity check come
+        # from these immediately-adjacent probes.
         from em_connected_components_spark.operators.normalize import (
             symmetrize,
         )
@@ -204,8 +218,7 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
             .agg(F.sum("mn"), F.sum("c"))
             .collect()
         )
-        dt = time.time() - t0
-        return {"wall_sec": round(dt, 2)}
+        return round(time.time() - t0, 2)
 
     def reset_caches() -> None:
         # HONESTY GUARD (found in round 3): Spark's cache manager matches
@@ -226,9 +239,12 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
     print(f"[worker {cpus}] warmup superstep: {w['wall_sec']}s",
           file=sys.stderr, flush=True)
 
-    for name, fn in (("calibration", run_calibration),
-                     ("superstep", run_superstep), ("cc_full", run_cc),
+    for name, fn in (("superstep", run_superstep), ("cc_full", run_cc),
                      (f"pagerank{PR_ITERS}", run_pagerank)):
+        reset_caches()
+        cal_before = run_calibration()
+        print(f"[worker {cpus}] {name} cal_before: {cal_before}s",
+              file=sys.stderr, flush=True)
         runs = []
         for rep in range(REPS):
             reset_caches()
@@ -236,8 +252,18 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
             runs.append(r)
             print(f"[worker {cpus}] {name} rep{rep}: {r['wall_sec']}s",
                   file=sys.stderr, flush=True)
+        reset_caches()
+        cal_after = run_calibration()
+        print(f"[worker {cpus}] {name} cal_after: {cal_after}s",
+              file=sys.stderr, flush=True)
         best = min(runs, key=lambda r: r["wall_sec"])
         best["all_wall_sec"] = [r["wall_sec"] for r in runs]
+        best["cal_before_sec"] = cal_before
+        best["cal_after_sec"] = cal_after
+        best["cal_bracket_ratio"] = round(
+            max(cal_before, cal_after) / max(min(cal_before, cal_after), 1e-9),
+            3,
+        )
         res[name] = best
 
     edges.unpersist()
@@ -254,6 +280,37 @@ def _median(xs: list[float]) -> float:
     s = sorted(xs)
     k = len(s)
     return s[k // 2] if k % 2 else (s[k // 2 - 1] + s[k // 2]) / 2
+
+
+def _summarize(run_payloads: list[dict], workloads: tuple[str, ...]) -> dict:
+    summary = {}
+    for wl in workloads:
+        raw_all = [r["scaling_efficiency"][wl] for r in run_payloads]
+        norm_all = [r["run_matched_normalized"][wl] for r in run_payloads]
+        cal_all = [r["matched_calibration_eff"][wl] for r in run_payloads]
+        valid_idx = [i for i, r in enumerate(run_payloads)
+                     if r["valid"][wl]]
+        raw_valid = [raw_all[i] for i in valid_idx]
+        norm_valid = [norm_all[i] for i in valid_idx]
+        entry = {
+            "raw_all": raw_all,
+            "norm_all": norm_all,
+            "matched_calibration_eff_all": cal_all,
+            "n_runs": len(run_payloads),
+            "n_valid": len(valid_idx),
+            "valid_runs": valid_idx,
+        }
+        if raw_valid:
+            entry["raw_median_valid"] = round(_median(raw_valid), 3)
+            entry["norm_median_valid"] = round(_median(norm_valid), 3)
+            entry["norm_spread_valid"] = [
+                round(min(norm_valid), 3), round(max(norm_valid), 3)
+            ]
+            entry["raw_spread_valid"] = [
+                round(min(raw_valid), 3), round(max(raw_valid), 3)
+            ]
+        summary[wl] = entry
+    return summary
 
 
 def orchestrate() -> None:
@@ -273,11 +330,30 @@ def orchestrate() -> None:
         raise SystemExit("SPARK_GRAFT_SCALING_LEVELS needs >=2 comma-separated ints")
     lo, hi = min(LEVELS), max(LEVELS)
     factor = hi / lo
-    workloads = ("calibration", "superstep", "cc_full", f"pagerank{PR_ITERS}")
-    runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "1"))
+    workloads = ("superstep", "cc_full", f"pagerank{PR_ITERS}")
 
-    run_payloads = []
-    for run_idx in range(runs):
+    protocol = (
+        f"same parquet input, fresh JVM per level, local[{lo}] vs "
+        f"local[{hi}], shuffle_partitions=2*cores, min of {REPS} reps "
+        f"per workload per run, {RUNS} full protocol run(s), "
+        "spark.catalog.clearCache() + untimed input re-stage between "
+        "reps and probes (prevents plan-identical cache reuse across reps). "
+        "Every workload is bracketed by a calibration probe (one fully "
+        "parallel hook-shaped map+shuffle+agg pass) run immediately before "
+        "and after its reps at each level; the workload's normalization "
+        "denominator is its own matched brackets (min of before/after per "
+        "level), unclamped. PRE-REGISTERED VALIDITY (fixed before data was "
+        f"taken): a workload measurement is valid iff max/min <= {BRACKET_TOL} "
+        "between its before/after probes at BOTH levels; invalid "
+        "measurements are stored but excluded from summary medians. "
+        "Per-core throughput on this VM degrades with active-core count — "
+        "a fully parallel phase measures ~0.73 at 4-vs-16 from "
+        "memory-bandwidth/frequency scaling alone — so 2-vs-8 is the widest "
+        "4x spread that measures the engine, not the VM power curve"
+    )
+
+    run_payloads: list[dict] = []
+    for run_idx in range(RUNS):
         results = {}
         for cpus in LEVELS:
             out = os.path.join(WORK, f"result_r{run_idx}_local{cpus}.json")
@@ -293,60 +369,51 @@ def orchestrate() -> None:
             print(f"[scaling] run {run_idx} local[{cpus}] done in "
                   f"{time.time()-t0:.0f}s", file=sys.stderr)
 
-        eff = {}
+        eff, eff_norm, cal_eff, valid, brackets = {}, {}, {}, {}, {}
         for wl in workloads:
-            t_lo = results[lo][wl]["wall_sec"]
-            t_hi = results[hi][wl]["wall_sec"]
-            eff[wl] = round((t_lo / t_hi) / factor, 3)
-        # RUN-MATCHED normalization (VERDICT r2 #4): each workload's
-        # efficiency divided by the SAME run's calibration efficiency —
-        # never a pooled/other-run ceiling — and UNCLAMPED (ADVICE r2):
-        # values > 1.0 are reported as measured, any display cap belongs in
-        # rendering, not the stored measurement
-        ceiling = eff["calibration"]
-        eff_norm = {
-            wl: round(eff[wl] / ceiling, 3) if ceiling > 0 else 0.0
-            for wl in workloads if wl != "calibration"
-        }
+            r_lo, r_hi = results[lo][wl], results[hi][wl]
+            eff[wl] = round((r_lo["wall_sec"] / r_hi["wall_sec"]) / factor, 3)
+            # workload-matched calibration denominator: the probes that ran
+            # immediately around THIS workload at each level (min of the two
+            # brackets = contention-free estimate of that moment's ceiling)
+            cal_lo = min(r_lo["cal_before_sec"], r_lo["cal_after_sec"])
+            cal_hi = min(r_hi["cal_before_sec"], r_hi["cal_after_sec"])
+            cal_eff[wl] = round((cal_lo / cal_hi) / factor, 3)
+            eff_norm[wl] = (
+                round(eff[wl] / cal_eff[wl], 3) if cal_eff[wl] > 0 else 0.0
+            )
+            brackets[wl] = {
+                str(lo): r_lo["cal_bracket_ratio"],
+                str(hi): r_hi["cal_bracket_ratio"],
+            }
+            valid[wl] = bool(
+                r_lo["cal_bracket_ratio"] <= BRACKET_TOL
+                and r_hi["cal_bracket_ratio"] <= BRACKET_TOL
+            )
         run_payloads.append(
             {"levels": {str(k): v for k, v in results.items()},
              "scaling_efficiency": eff,
-             "run_matched_normalized": eff_norm}
+             "matched_calibration_eff": cal_eff,
+             "run_matched_normalized": eff_norm,
+             "bracket_ratios": brackets,
+             "valid": valid}
         )
 
-    summary = {}
-    for wl in workloads:
-        raw = [r["scaling_efficiency"][wl] for r in run_payloads]
-        entry = {"raw_all": raw, "raw_median": round(_median(raw), 3)}
-        if wl != "calibration":
-            norm = [r["run_matched_normalized"][wl] for r in run_payloads]
-            entry["norm_all"] = norm
-            entry["norm_median"] = round(_median(norm), 3)
-        summary[wl] = entry
+        # incremental save: an interrupted protocol still leaves complete
+        # evidence for every finished run
+        payload = {
+            "input": info,
+            "bracket_tolerance": BRACKET_TOL,
+            "runs": run_payloads,
+            "summary": _summarize(run_payloads, workloads),
+            "protocol": protocol,
+        }
+        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"[scaling] run {run_idx} recorded: "
+              f"raw={eff} norm={eff_norm} valid={valid}", file=sys.stderr)
 
-    payload = {
-        "input": info,
-        "runs": run_payloads,
-        "summary": summary,
-        "protocol": (
-            f"same parquet input, fresh JVM per level, local[{lo}] vs "
-            f"local[{hi}], shuffle_partitions=2*cores, min of {REPS} reps "
-            f"per workload per run, {runs} full protocol run(s), "
-            "spark.catalog.clearCache() + untimed input re-stage between "
-            "reps (prevents plan-identical cache reuse across reps — a "
-            "round-2 leak let the jump phase ride the previous rep's cache, "
-            "flattering superstep times at both levels); normalized "
-            "values are run-matched (workload eff / the SAME run's "
-            "calibration eff) and unclamped. Per-core throughput on this VM "
-            "degrades with active-core count - a fully parallel phase "
-            "measures ~0.73 at 4-vs-16 from memory-bandwidth/frequency "
-            "scaling alone - so 2-vs-8 is the widest 4x spread that "
-            "measures the engine, not the VM power curve"
-        ),
-    }
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump(payload, f, indent=2)
-    print(json.dumps(summary))
+    print(json.dumps(_summarize(run_payloads, workloads)))
 
 
 def main() -> None:

@@ -157,6 +157,82 @@ def _q_cc_doubling_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("node")
 
 
+def _q_cc_bucketed_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # CC through the bucketed EdgeCatalog (VERDICT r3 #5a): edges land in a
+    # src-bucketed table (HashPartitioning recorded in the catalog — the
+    # exchange-free 100 TB entry point; plan-level no-Exchange assertions
+    # live in tests/test_catalog_bucketed.py) and CC consumes spark.table(),
+    # not the in-memory DataFrame. Labels must be identical to the direct
+    # path — same recursive-CTE oracle.
+    from em_connected_components_spark.sources.catalog import EdgeCatalog
+
+    table = "emcc_driver_cc_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    cat = EdgeCatalog(
+        spark, f"/tmp/emcc_driver_bucketed/{table}", buckets=8
+    )
+    cat.write_bucketed(tbl.edges_customer_nation(spark, sf), table)
+    return connected_components(
+        cat.read_bucketed(table), small_graph_threshold=0
+    ).orderBy("node")
+
+
+def _q_cc_hub_seeded_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # hub-seeded heavy-split CC (VERDICT r3 #5b): the nation nodes (the star
+    # centers) are passed as ONLINE hub seeds — the shape
+    # streaming.events.collect_hub_seeds produces from the running degree
+    # monitor — and broadcast_threshold_rows=0 forces the shuffled relabel
+    # path so round 0 actually arms the literal-map heavy split from the
+    # seed list (hub_source="seeded", no degree-detect job). Labels are
+    # unchanged by the fast path — same recursive-CTE oracle.
+    edges = tbl.edges_customer_nation(spark, sf)
+    seeds = [
+        r["dst"] for r in edges.select("dst").distinct().collect()
+    ]
+    return connected_components(
+        edges, small_graph_threshold=0, broadcast_threshold_rows=0,
+        hub_seeds=seeds,
+    ).orderBy("node")
+
+
+def _q_multimodal_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL image decode end-to-end (VERDICT r3 #4): deterministic 4x4 raster
+    # payloads are synthesized per doc_id (PPM/P6 for even ids, 24-bit BMP
+    # for odd — both decoded by the pure-numpy decoders, no codec libs),
+    # then features are extracted by the Arrow-batched mapInPandas kernel
+    # with fake=False. Pixel intensity p of pixel index i is
+    # (doc_id % 240) + i across all 3 channels, so the oracle recomputes
+    # n_bytes/width/height/mean_intensity in closed form.
+    from em_connected_components_spark.functions import multimodal as mm
+
+    docs = tbl.load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                base = int(d) % 240
+                px = (
+                    (base + np.arange(16, dtype=np.int64))
+                    .astype(np.uint8)
+                    .reshape(4, 4, 1)
+                    .repeat(3, axis=2)
+                )
+                payloads.append(
+                    mm.encode_ppm(px) if d % 2 == 0 else mm.encode_bmp(px)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return mm.extract_image_features(media, fake=False).select(
+        "media_id", "n_bytes", "width", "height", "mean_intensity"
+    )
+
+
 def _q_permute_ids_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
     # R5 random-id-permutation preprocessing (cpp/preprocess.cpp:21-45):
     # rank-by-md5 permutation of the node set applied through the standard
@@ -458,6 +534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star_customer_nation": _q_cc_star_customer_nation,
         "cc_bundles_customer_nation": _q_cc_bundles_customer_nation,
         "cc_doubling_customer_nation": _q_cc_doubling_customer_nation,
+        "cc_bucketed_customer_nation": _q_cc_bucketed_customer_nation,
+        "cc_hub_seeded_customer_nation": _q_cc_hub_seeded_customer_nation,
+        "multimodal_image_features": _q_multimodal_image_features,
         "permute_ids_customer_nation": _q_permute_ids_customer_nation,
         "pagerank_spmv_customer_nation": _q_pagerank_spmv_customer_nation,
         "lp_customer_nation": _q_lp_customer_nation,
@@ -897,6 +976,17 @@ def oracle_sql() -> dict[str, str]:
         "cc_star_customer_nation": _cc_oracle(_EDGES_CN),
         "cc_bundles_customer_nation": _cc_oracle(_EDGES_CN),
         "cc_doubling_customer_nation": _cc_oracle(_EDGES_CN),
+        "cc_bucketed_customer_nation": _cc_oracle(_EDGES_CN),
+        "cc_hub_seeded_customer_nation": _cc_oracle(_EDGES_CN),
+        "multimodal_image_features": """
+          SELECT doc_id AS media_id,
+                 CAST(CASE WHEN doc_id % 2 = 0 THEN 59 ELSE 102 END
+                      AS BIGINT) AS n_bytes,
+                 CAST(4 AS INT) AS width,
+                 CAST(4 AS INT) AS height,
+                 CAST(doc_id % 240 + 7.5 AS DOUBLE) AS mean_intensity
+          FROM documents
+        """,
         "permute_ids_customer_nation": f"""
           WITH e AS ({_EDGES_CN}),
           nodes AS (

@@ -108,12 +108,90 @@ def test_streaming_edge_ingest_foreachbatch(spark, batch_events):
         )
 
 
-def test_decode_image_stub_contract():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+def test_decode_image_codec_formats_raise():
+    # compressed formats need codec libs the container doesn't ship — the
+    # real decoder names the format instead of silently faking it
+    with pytest.raises(ValueError, match="png"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError, match="jpeg"):
+        decode_image(b"\xff\xd8\xff\xe0....")
+    # the deterministic twin still handles arbitrary bytes
     v1 = decode_image(b"same bytes", fake=True)
     v2 = decode_image(b"same bytes", fake=True)
     assert (v1 == v2).all()
+
+
+def test_ppm_roundtrip_and_header_parse():
+    import numpy as np
+
+    from em_connected_components_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(px)) == px).all()
+    # comments + flexible whitespace in the header are part of the grammar
+    raster = px.tobytes()
+    weird = b"P6 # trailing comment\n# full comment line\n 3\n# again\n5 255\n"
+    assert (decode_ppm(weird + raster) == px.reshape(5, 3, 3)).all()
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n3 5\n255\n" + raster[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_bmp_roundtrip_orientation_and_padding():
+    import numpy as np
+
+    from em_connected_components_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # width 3 -> 9-byte rows padded to 12: exercises stride logic; a
+    # gradient down the rows exercises the bottom-up flip (a decoder that
+    # forgot to flip would return the mirror image, not equality)
+    px = np.zeros((4, 3, 3), dtype=np.uint8)
+    for r in range(4):
+        px[r, :, :] = 10 * r + np.arange(3).reshape(3, 1)
+    data = encode_bmp(px)
+    assert data[:2] == b"BM"
+    assert (decode_bmp(data) == px).all()
+    assert (decode_image(data) == px).all()
+    # channel order: a pure-red pixel must come back pure red (BGR->RGB)
+    red = np.zeros((1, 1, 3), dtype=np.uint8)
+    red[0, 0, 0] = 255
+    assert (decode_bmp(encode_bmp(red)) == red).all()
+    with pytest.raises(ValueError, match="bit depth"):
+        bad = bytearray(encode_bmp(red))
+        bad[28] = 8  # claim 8bpp
+        decode_bmp(bytes(bad))
+
+
+def test_extract_image_features_real_path(spark):
+    import numpy as np
+
+    from em_connected_components_spark.functions.multimodal import (
+        encode_bmp,
+        encode_ppm,
+    )
+
+    px1 = np.full((4, 4, 3), 100, dtype=np.uint8)
+    px2 = np.full((2, 6, 3), 30, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(px1))), (2, bytearray(encode_bmp(px2)))],
+        schema="media_id long, payload binary",
+    )
+    out = {r["media_id"]: r
+           for r in extract_image_features(media, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (4, 4)
+    assert (out[2]["width"], out[2]["height"]) == (6, 2)
+    assert out[1]["mean_intensity"] == pytest.approx(100.0)
+    assert out[2]["mean_intensity"] == pytest.approx(30.0)
+    assert len(out[1]["feature"]) == 8
+    assert out[1]["n_bytes"] == len(encode_ppm(px1))
 
 
 def test_extract_image_features_plumbing(spark):

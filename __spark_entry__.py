@@ -409,9 +409,7 @@ def _q_docs_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # generation is df-capped (stop-shingle guardrail — a shingle in f docs
     # makes f^2 join rows, so the cap bounds the self-join at web scale)
     d = tbl.load_table(spark, sf, "documents")
-    sh = dd.shingles(d, n=3)
-    cand = dd.shingle_candidate_pairs(sh, max_doc_freq=1000)
-    return dd.ngram_jaccard_pairs(sh, cand).filter(F.col("jaccard6") >= 0.2)
+    return dd.jaccard_near_duplicates(d, n=3, max_doc_freq=1000, threshold=0.2)
 
 
 def _q_docs_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:

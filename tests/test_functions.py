@@ -39,6 +39,57 @@ def test_exact_dedup(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 3]
 
 
+def test_collapse_exact_dups_beats_df_cap(spark):
+    # a 2000-copy exact-dup cluster pushes every shingle it shares over a
+    # max_doc_freq=1000 cap, so the plain path is structurally blind to it
+    # (the documented recall bound); collapse_exact_dups=True shingles one
+    # representative per text and fans results back out
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = base.replace("theta", "iota")  # near-dup of the cluster
+    other = "totally unrelated words that share no trigram with anything"
+    texts = [base] * 2000 + [near, other]
+    df = _docs(spark, texts)
+
+    plain = dd.jaccard_near_duplicates(
+        df, max_doc_freq=1000, threshold=0.2, collapse_exact_dups=False
+    )
+    # the cluster's own shingles all have df=2000 > cap; `near` shares only
+    # those shingles with the cluster -> zero candidates at all
+    assert plain.count() == 0
+
+    collapsed = dd.jaccard_near_duplicates(
+        df, max_doc_freq=1000, threshold=0.2, collapse_exact_dups=True
+    )
+    rows = collapsed.collect()
+    # C(2000,2) intra-cluster pairs at jaccard 1.0 + 2000 cross pairs to
+    # `near` (doc_id 2000), nothing touching `other` (doc_id 2001)
+    intra = [r for r in rows if r["jaccard6"] == 1.0]
+    cross = [r for r in rows if r["jaccard6"] < 1.0]
+    assert len(intra) == 2000 * 1999 // 2
+    assert len(cross) == 2000
+    assert all(r["id_b"] == 2000 for r in cross)
+    assert all(r["id_a"] != 2001 and r["id_b"] != 2001 for r in rows)
+    # exact Jaccard of base-vs-near: 6 word-3-grams each, 5 shared -> 5/7
+    expected_j = round(5 / 7, 6)
+    assert all(abs(r["jaccard6"] - expected_j) < 1e-9 for r in cross)
+
+
+def test_collapse_exact_dups_agrees_when_cap_inactive(spark):
+    # below the cap, both paths must produce the identical pair set
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words about spark shuffles and parquet files"
+    texts = [base, base, near, other]
+    df = _docs(spark, texts)
+    a = dd.jaccard_near_duplicates(df, threshold=0.2,
+                                   collapse_exact_dups=False)
+    b = dd.jaccard_near_duplicates(df, threshold=0.2,
+                                   collapse_exact_dups=True)
+    sa = {(r["id_a"], r["id_b"], r["jaccard6"]) for r in a.collect()}
+    sb = {(r["id_a"], r["id_b"], r["jaccard6"]) for r in b.collect()}
+    assert sa == sb
+
+
 def test_minhash_near_duplicates_planted(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     near = base.replace("today", "tomorrow")

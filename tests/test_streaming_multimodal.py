@@ -108,6 +108,63 @@ def test_streaming_edge_ingest_foreachbatch(spark, batch_events):
         )
 
 
+def test_streaming_ingest_to_bucketed_catalog(spark, batch_events):
+    # VERDICT r3 #8 e2e: stream micro-batches into the src-BUCKETED catalog
+    # table (overwrite on first batch, append after), then run CC straight
+    # off the table — the plan must read the bucketed layout with NO initial
+    # Exchange on the src side, and labels must agree with batch derivation.
+    from em_connected_components_spark.operators.normalize import canonicalize
+    from em_connected_components_spark.plans.connected_components import (
+        connected_components,
+    )
+    from em_connected_components_spark.sources.catalog import EdgeCatalog
+    from em_connected_components_spark.sources.tables import edges_events
+
+    table = "emcc_test_stream_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    with tempfile.TemporaryDirectory() as d:
+        cat = EdgeCatalog(spark, os.path.join(d, "bucketed"), buckets=4)
+        q = streaming_edge_ingest(
+            _stream_events(spark),
+            edge_table_path=os.path.join(d, "unused"),
+            checkpoint_dir=os.path.join(d, "ck"),
+            catalog=cat,
+            catalog_table=table,
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        br = cat.read_bucketed(table)
+
+        # layout survives the streamed append: no Exchange for the src agg
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            br.groupBy("src").agg(F.min("dst")).explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange" not in plan, plan
+
+        # one file = one batch, so batch-mode edge derivation agrees exactly
+        want = canonicalize(edges_events(spark, SF))
+        assert sorted(map(tuple, br.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+        # CC straight off the streamed table matches CC off batch edges
+        got_labels = sorted(
+            map(tuple, connected_components(br).collect())
+        )
+        want_labels = sorted(
+            map(tuple, connected_components(want).collect())
+        )
+        assert got_labels == want_labels
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_decode_image_codec_formats_raise():
     # compressed formats need codec libs the container doesn't ship — the
     # real decoder names the format instead of silently faking it

@@ -214,3 +214,108 @@ class RoundCheckpointer:
     def clear(self) -> None:
         self._fs.delete(self.root, recursive=True)
         self._fs.mkdirs(self.root)
+
+
+class PhaseCheckpointer:
+    """Named-phase durability for drivers whose structure is not round-shaped
+    — the KKT sample-and-filter driver (G8): its natural boundaries are the
+    reference recursion's phases (E1/E2 split -> L1 solve -> filter -> L2
+    solve -> compose, cpp/FunctionalSubproblemManager.h:430-757), not
+    contraction rounds. Each completed phase commits one or more named
+    tables plus metrics to an atomically-replaced manifest (same Hadoop-FS
+    machinery and rename semantics as RoundCheckpointer; own manifest file
+    so both can share a root). A killed run resumes by skipping every
+    committed phase and re-reading its tables.
+
+    Phases are strictly ordered by the driver; `completed()` preserves
+    commit order. Re-committing a phase (a rerun after an upstream change)
+    drops it and every LATER phase from the manifest first — a phase's
+    inputs are its predecessors' outputs, so stale successors must never
+    survive a predecessor rewrite.
+    """
+
+    _PHASE_MANIFEST = "phase_manifest.json"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._fs = _HadoopFS(spark, root)
+        self._fs.mkdirs(root)
+
+    def _manifest_path(self) -> str:
+        return _join(self.root, self._PHASE_MANIFEST)
+
+    def _read_manifest(self) -> dict:
+        path = self._manifest_path()
+        if not self._fs.exists(path):
+            return {"phases": []}
+        return json.loads(self._fs.read_bytes(path).decode("utf-8"))
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        self._fs.write_bytes(tmp, json.dumps(manifest, indent=2).encode())
+        # atomic where the FS provides it — commit point of the phase
+        self._fs.rename_overwrite(tmp, self._manifest_path())
+
+    def _lineage(self, path: str) -> list[dict]:
+        return [
+            {"file": name, "bytes": size}
+            for name, size in self._fs.list_files(path)
+            if name.endswith(".parquet")
+        ]
+
+    def completed(self) -> list[str]:
+        return [p["name"] for p in self._read_manifest()["phases"]]
+
+    def phase_metrics(self, name: str) -> dict:
+        for p in self._read_manifest()["phases"]:
+            if p["name"] == name:
+                return p.get("metrics", {})
+        raise KeyError(f"phase {name!r} not committed")
+
+    def save_phase(
+        self,
+        name: str,
+        tables: dict[str, DataFrame],
+        metrics: dict | None = None,
+    ) -> dict[str, DataFrame]:
+        """Write every table, commit the manifest entry (with per-partition
+        file lineage), return re-read (lineage-free) DataFrames by name."""
+        dirs: dict[str, str] = {}
+        for tname, df in tables.items():
+            tdir = _join(self.root, f"phase={name}", tname)
+            df.write.mode("overwrite").parquet(tdir)
+            dirs[tname] = tdir
+        manifest = self._read_manifest()
+        if any(p["name"] == name for p in manifest["phases"]):
+            # rewrite: this phase and everything after it are stale
+            keep = []
+            for p in manifest["phases"]:
+                if p["name"] == name:
+                    break
+                keep.append(p)
+            manifest["phases"] = keep
+        manifest["phases"].append(
+            {
+                "name": name,
+                "tables": dirs,
+                "ts": time.time(),
+                "files": {t: self._lineage(d) for t, d in dirs.items()},
+                "metrics": metrics or {},
+            }
+        )
+        self._write_manifest(manifest)
+        return {t: self.spark.read.parquet(d) for t, d in dirs.items()}
+
+    def load_phase(self, name: str) -> dict[str, DataFrame]:
+        for p in self._read_manifest()["phases"]:
+            if p["name"] == name:
+                return {
+                    t: self.spark.read.parquet(d)
+                    for t, d in p["tables"].items()
+                }
+        raise KeyError(f"phase {name!r} not committed")
+
+    def clear(self) -> None:
+        self._fs.delete(self.root, recursive=True)
+        self._fs.mkdirs(self.root)

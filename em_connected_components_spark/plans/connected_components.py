@@ -511,16 +511,6 @@ def connected_components(
         broadcast_threshold_rows = broadcast_row_bound(spark)
 
     if policy is not None and policy.strategy == "kkt":
-        if checkpointer is not None:
-            # explicit, not a silent downgrade: the KKT driver's phases
-            # (E1 solve / filter / E2 solve / compose) are not round-shaped,
-            # so RoundCheckpointer's per-round resume contract does not apply
-            raise ValueError(
-                "Policy(strategy='kkt') does not support a checkpointer: "
-                "the sample-and-filter phases are not resumable rounds. "
-                "Use strategy='iterative' for checkpointed runs, or run KKT "
-                "without a checkpointer."
-            )
         return _kkt_driver(
             edges,
             policy=policy,
@@ -529,6 +519,7 @@ def connected_components(
             seed=seed,
             jump_local_threshold=jump_local_threshold,
             max_rounds=max_rounds,
+            checkpointer=checkpointer,
         )
 
     e = edges if pre_canonicalized else canonicalize(edges)
@@ -738,6 +729,7 @@ def _kkt_driver(
     seed: int,
     jump_local_threshold: int,
     max_rounds: int,
+    checkpointer: RoundCheckpointer | None = None,
 ) -> DataFrame:
     """One KKT sample-and-filter level (G8), flattened onto the iterative loop.
 
@@ -762,55 +754,128 @@ def _kkt_driver(
     Labels stay canonical min-members: every E1 root is the min of its
     E1-component, so the L2 solve over root ids yields the global min per
     merged component, and the composition preserves it.
+
+    Resume (VERDICT r3 #3): the reference recursion's natural boundaries —
+    split / L1 / filter / L2 — are committed as NAMED PHASES via
+    checkpoint.PhaseCheckpointer under the caller's checkpoint root, and the
+    two sub-solves run with nested per-round RoundCheckpointers (sub_l1 /
+    sub_l2), so a killed dense-graph run resumes mid-sub-solve, not just at
+    a phase edge. A completed phase is skipped entirely on rerun and its
+    tables are re-read from parquet; the final labels also commit through
+    the caller's RoundCheckpointer.save_final so ``checkpointer.final()``
+    keeps its contract. Same resume precondition as the iterative loop:
+    call again with the same input and parameters.
     """
     from ..operators.sample import bernoulli_split
+
+    spark = edges.sparkSession
+    phases = None
+    sub_ckpt_root = None
+    done: set[str] = set()
+    if checkpointer is not None:
+        from ..checkpoint import PhaseCheckpointer
+
+        phases = PhaseCheckpointer(spark, checkpointer.root)
+        sub_ckpt_root = checkpointer.root
+        done = set(phases.completed())
 
     e = edges if pre_canonicalized else canonicalize(edges)
     e = e.persist()
     t0 = time.time()
     m = e.count()
     if m == 0:
-        return e.sparkSession.createDataFrame([], schema="node long, comp long")
-    # cheap density probe: approximate n is only used to pick the power k
-    n_approx = (
-        e.select(F.explode(F.array("src", "dst")).alias("node"))
-        .agg(F.approx_count_distinct("node").alias("n"))
-        .collect()[0]["n"]
-    )
-    k = policy.sample_power(n_approx, m)
-    e1, e2 = bernoulli_split(e, "src", "dst", p=2.0 ** -k, seed=seed)
-    metrics.add(
-        round=-2, kind="kkt_split", m=m, n_approx=n_approx, power=k,
-        wall_sec=time.time() - t0,
-    )
+        return spark.createDataFrame([], schema="node long, comp long")
 
-    sub_kw = dict(
-        pre_canonicalized=True,  # Bernoulli filter preserves canonical form
-        metrics=metrics,
-        jump_local_threshold=jump_local_threshold,
-        max_rounds=max_rounds,
-        small_graph_threshold=policy.small_graph_edges,
-        broadcast_threshold_rows=policy.broadcast_rows,
-        seed=seed,
-    )
-    labels1 = connected_components(e1, **sub_kw).persist()
+    # --- phase: split -------------------------------------------------------
+    if phases is not None and "split" in done:
+        t = phases.load_phase("split")
+        e1, e2 = t["e1"], t["e2"]
+        k = phases.phase_metrics("split").get("power")
+        metrics.add(round=-2, kind="kkt_split_resumed", m=m, power=k)
+    else:
+        # cheap density probe: approximate n is only used to pick the power k
+        n_approx = (
+            e.select(F.explode(F.array("src", "dst")).alias("node"))
+            .agg(F.approx_count_distinct("node").alias("n"))
+            .collect()[0]["n"]
+        )
+        k = policy.sample_power(n_approx, m)
+        e1, e2 = bernoulli_split(e, "src", "dst", p=2.0 ** -k, seed=seed)
+        if phases is not None:
+            t = phases.save_phase(
+                "split", {"e1": e1, "e2": e2},
+                metrics={"m": m, "n_approx": n_approx, "power": k},
+            )
+            e1, e2 = t["e1"], t["e2"]
+        metrics.add(
+            round=-2, kind="kkt_split", m=m, n_approx=n_approx, power=k,
+            wall_sec=time.time() - t0,
+        )
+
+    def _sub_kw(tag: str) -> dict:
+        kw = dict(
+            pre_canonicalized=True,  # Bernoulli filter preserves canon form
+            metrics=metrics,
+            jump_local_threshold=jump_local_threshold,
+            max_rounds=max_rounds,
+            small_graph_threshold=policy.small_graph_edges,
+            broadcast_threshold_rows=policy.broadcast_rows,
+            seed=seed,
+        )
+        if sub_ckpt_root is not None:
+            kw["checkpointer"] = RoundCheckpointer(
+                spark, f"{sub_ckpt_root.rstrip('/')}/{tag}"
+            )
+        return kw
+
+    # --- phase: l1 (solve the sample) --------------------------------------
+    if phases is not None and "l1" in done:
+        labels1 = phases.load_phase("l1")["labels1"].persist()
+        metrics.add(round=-2, kind="kkt_l1_resumed")
+    else:
+        labels1 = connected_components(e1, **_sub_kw("sub_l1")).persist()
+        if phases is not None:
+            labels1 = phases.save_phase(
+                "l1", {"labels1": labels1}
+            )["labels1"].persist()
     n1 = labels1.count()
     do_broadcast = n1 <= policy.broadcast_rows
 
-    t1 = time.time()
-    # FILTER: one relabel of the (large) unsampled side; intra-component
-    # edges collapse to self-loops and are dropped by canonicalize
-    e2c = contract(e2, labels1, broadcast_labels=do_broadcast)
-    e2c = e2c.localCheckpoint(eager=True)
-    m2 = e2c.count()
-    metrics.add(
-        round=-2, kind="kkt_filter", m_input=m, m_remaining=m2,
-        wall_sec=time.time() - t1,
-    )
-    labels2 = connected_components(e2c, **sub_kw).persist()
+    # --- phase: filter (one relabel of the large unsampled side) -----------
+    if phases is not None and "filter" in done:
+        e2c = phases.load_phase("filter")["e2c"]
+        m2 = phases.phase_metrics("filter").get("m_remaining")
+        metrics.add(round=-2, kind="kkt_filter_resumed", m_remaining=m2)
+    else:
+        t1 = time.time()
+        # intra-component edges collapse to self-loops -> dropped inside
+        # contract's canonicalize
+        e2c = contract(e2, labels1, broadcast_labels=do_broadcast)
+        e2c = e2c.localCheckpoint(eager=True)
+        m2 = e2c.count()
+        if phases is not None:
+            e2c = phases.save_phase(
+                "filter", {"e2c": e2c},
+                metrics={"m_input": m, "m_remaining": m2},
+            )["e2c"]
+        metrics.add(
+            round=-2, kind="kkt_filter", m_input=m, m_remaining=m2,
+            wall_sec=time.time() - t1,
+        )
+
+    # --- phase: l2 (solve the filtered remainder) ---------------------------
+    if phases is not None and "l2" in done:
+        labels2 = phases.load_phase("l2")["labels2"].persist()
+        metrics.add(round=-2, kind="kkt_l2_resumed")
+    else:
+        labels2 = connected_components(e2c, **_sub_kw("sub_l2")).persist()
+        if phases is not None:
+            labels2 = phases.save_phase(
+                "l2", {"labels2": labels2}
+            )["labels2"].persist()
     labels2.count()
 
-    # compose: identity over all nodes -> L1 -> L2
+    # --- compose: identity over all nodes -> L1 -> L2 -----------------------
     identity = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -824,6 +889,8 @@ def _kkt_driver(
     labels1.unpersist()
     labels2.unpersist()
     metrics.add(round=-2, kind="kkt_total", wall_sec=time.time() - t0)
+    if checkpointer is not None:
+        labels = checkpointer.save_final(labels)
     return labels
 
 

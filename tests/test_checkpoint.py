@@ -123,3 +123,53 @@ def test_checkpointed_equals_uncheckpointed_partition(spark, tmp_path):
     assert labels_to_partition(with_ck.collect()) == labels_to_partition(
         without.collect()
     )
+
+
+def test_kkt_phase_kill_and_resume_every_boundary(spark, tmp_path, monkeypatch):
+    # VERDICT r3 #3: a KKT run killed right after ANY committed phase
+    # (split / l1 / filter / l2) must resume to labels identical to an
+    # uninterrupted run, skipping every committed phase (visible as
+    # kkt_<phase>_resumed metrics — no recompute of the E1 solve etc.).
+    from em_connected_components_spark import checkpoint as ckpt_mod
+    from em_connected_components_spark.plans.policy import Policy
+
+    edges = canonicalize(gen.gilbert(spark, 400, 8.0, seed=31))
+    pol = Policy(strategy="kkt", small_graph_edges=50, broadcast_rows=10**6)
+    ref = connected_components(edges, pre_canonicalized=True, policy=pol)
+    want_labels = sorted(map(tuple, ref.collect()))
+
+    phase_order = ["split", "l1", "filter", "l2"]
+    orig = ckpt_mod.PhaseCheckpointer.save_phase
+    for kill_after in phase_order:
+        root = str(tmp_path / f"kkt_{kill_after}")
+
+        def failing(self, name, tables, metrics=None, _after=kill_after):
+            out = orig(self, name, tables, metrics)
+            if name == _after:
+                raise RuntimeError(f"injected kill after {name}")
+            return out
+
+        with monkeypatch.context() as mp:
+            mp.setattr(ckpt_mod.PhaseCheckpointer, "save_phase", failing)
+            with pytest.raises(RuntimeError, match="injected kill"):
+                connected_components(
+                    edges, pre_canonicalized=True, policy=pol,
+                    checkpointer=RoundCheckpointer(spark, root),
+                )
+
+        committed = ckpt_mod.PhaseCheckpointer(spark, root).completed()
+        expect_done = phase_order[: phase_order.index(kill_after) + 1]
+        assert committed == expect_done
+
+        metrics = CCMetrics()
+        got = connected_components(
+            edges, pre_canonicalized=True, policy=pol, metrics=metrics,
+            checkpointer=RoundCheckpointer(spark, root),
+        )
+        assert sorted(map(tuple, got.collect())) == want_labels
+        kinds = [r["kind"] for r in metrics.rounds]
+        for p in expect_done:
+            assert f"kkt_{p}_resumed" in kinds, (kill_after, kinds)
+        # phases after the kill ran fresh, not resumed
+        for p in phase_order[phase_order.index(kill_after) + 1:]:
+            assert f"kkt_{p}_resumed" not in kinds, (kill_after, kinds)

@@ -111,20 +111,36 @@ def test_cc_kkt_policy_matches_oracle_rmat(spark):
     assert labels_to_partition(labels.collect()) == python_union_find(edge_rows)
 
 
-def test_cc_kkt_policy_rejects_checkpointer(spark, tmp_path):
-    # explicit failure, not a silent downgrade: KKT's sample-and-filter phases
-    # are not resumable rounds, so pairing it with a RoundCheckpointer raises
-    import pytest
-
-    from em_connected_components_spark.checkpoint import RoundCheckpointer
+def test_cc_kkt_policy_with_checkpointer_commits_phases(spark, tmp_path):
+    # KKT + checkpointer is supported since round 4 (phase-shaped resume,
+    # the round-3 contract hole): an uninterrupted run commits all four
+    # reference phases (split/l1/filter/l2) and the final labels, identical
+    # to the checkpointer-free run. Kill/resume at every boundary is
+    # covered in tests/test_checkpoint.py.
+    from em_connected_components_spark.checkpoint import (
+        PhaseCheckpointer,
+        RoundCheckpointer,
+    )
 
     edges = canonicalize(gen.gilbert(spark, 100, 2.0, seed=3))
+    want = connected_components(
+        edges, pre_canonicalized=True, policy=Policy(strategy="kkt")
+    )
     ck = RoundCheckpointer(spark, str(tmp_path / "kkt_ckpt"))
-    with pytest.raises(ValueError, match="kkt"):
-        connected_components(
-            edges, pre_canonicalized=True,
-            policy=Policy(strategy="kkt"), checkpointer=ck,
-        )
+    got = connected_components(
+        edges, pre_canonicalized=True,
+        policy=Policy(strategy="kkt"), checkpointer=ck,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    pc = PhaseCheckpointer(spark, str(tmp_path / "kkt_ckpt"))
+    assert pc.completed() == ["split", "l1", "filter", "l2"]
+    final = ck.final()
+    assert final is not None
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, want.collect())
+    )
 
 
 def test_max_hook_variant_same_partition(spark):

@@ -233,6 +233,36 @@ def _q_multimodal_image_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_audio_features_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL audio decode end-to-end: deterministic 16-sample mono 16-bit PCM
+    # WAV payloads synthesized per doc_id (sample i = doc_id % 200 + i,
+    # rate 8000) and decoded by the pure-numpy RIFF/WAVE parser. Closed
+    # forms the oracle recomputes: n_bytes = 44 + 32; mean = base + 7.5;
+    # rms^2 = mean((base+i)^2) = base^2 + 15*base + 77.5 (exact in double:
+    # integer sums divided by 16), so sqrt matches bit-for-bit.
+    from em_connected_components_spark.functions import multimodal as mm
+
+    docs = tbl.load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = [
+                mm.encode_wav(
+                    (int(d) % 200) + np.arange(16, dtype=np.int64),
+                    sample_rate=8000,
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return mm.extract_audio_features(media)
+
+
 def _q_permute_ids_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
     # R5 random-id-permutation preprocessing (cpp/preprocess.cpp:21-45):
     # rank-by-md5 permutation of the node set applied through the standard
@@ -535,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_bucketed_customer_nation": _q_cc_bucketed_customer_nation,
         "cc_hub_seeded_customer_nation": _q_cc_hub_seeded_customer_nation,
         "multimodal_image_features": _q_multimodal_image_features,
+        "audio_features_docs": _q_audio_features_docs,
         "permute_ids_customer_nation": _q_permute_ids_customer_nation,
         "pagerank_spmv_customer_nation": _q_pagerank_spmv_customer_nation,
         "lp_customer_nation": _q_lp_customer_nation,
@@ -983,6 +1014,18 @@ def oracle_sql() -> dict[str, str]:
                  CAST(4 AS INT) AS width,
                  CAST(4 AS INT) AS height,
                  CAST(doc_id % 240 + 7.5 AS DOUBLE) AS mean_intensity
+          FROM documents
+        """,
+        "audio_features_docs": """
+          SELECT doc_id AS media_id,
+                 CAST(76 AS BIGINT) AS n_bytes,
+                 CAST(8000 AS INT) AS sample_rate,
+                 CAST(1 AS INT) AS n_channels,
+                 CAST(16 AS BIGINT) AS n_samples,
+                 CAST(2 AS BIGINT) AS duration_ms,
+                 CAST(doc_id % 200 + 7.5 AS DOUBLE) AS mean_amp,
+                 round(sqrt((doc_id % 200) * (doc_id % 200)
+                            + 15.0 * (doc_id % 200) + 77.5), 6) AS rms6
           FROM documents
         """,
         "permute_ids_customer_nation": f"""

@@ -4,13 +4,14 @@ Training-data pipelines carry media next to text; the Spark-side contract is:
 binary payload column + struct metadata column, processed by Arrow-batched
 ``mapInPandas`` so each Python roundtrip moves a record batch, never a row.
 
-Decode support (round 4): uncompressed raster formats are decoded for real
-with pure numpy — PPM/P6 (binary netpbm) and BMP (24-bit uncompressed
-BI_RGB) need no codec library at all. Compressed formats (PNG/JPEG/…)
-require codecs that are NOT in this container and raise ``ValueError``
-with the detected magic; the deterministic fake decoder remains as a test
-twin (``fake=True``) exercising the same Spark plumbing — schema, batching,
-partitioning — which is the part that has to be right at 100 TB.
+Decode support (round 4): uncompressed formats are decoded for real with
+pure numpy — PPM/P6 (binary netpbm) and BMP (24-bit uncompressed BI_RGB)
+for images, PCM RIFF/WAVE (8/16/32-bit) for audio — no codec library at
+all. Compressed formats (PNG/JPEG/MP3/…) require codecs that are NOT in
+this container and raise ``ValueError`` with the detected format; the
+deterministic fake decoder remains as a test twin (``fake=True``)
+exercising the same Spark plumbing — schema, batching, partitioning —
+which is the part that has to be right at 100 TB.
 
 Matching encoders (``encode_ppm``/``encode_bmp``) exist so fixtures and
 driver queries can synthesize deterministic payloads without external data.
@@ -169,6 +170,145 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
         + (0).to_bytes(4, "little") * 2
     )
     return header + raster
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("rms6", T.DoubleType()),
+    ]
+)
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an uncompressed PCM RIFF/WAVE payload to
+    ``(samples (n_frames, n_channels) int32, sample_rate)`` — pure numpy,
+    no codec libraries (8-bit unsigned is re-centered to signed per the WAV
+    convention; 16/32-bit are signed little-endian).
+
+    Chunk-walks the RIFF container, so extra chunks (LIST/INFO/fact) before
+    or between fmt and data are skipped, as the format requires.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        csize = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt = {
+                "audio_format": int.from_bytes(body[0:2], "little"),
+                "n_channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            if len(body) != csize:
+                raise ValueError(
+                    f"truncated WAV data chunk: need {csize}, have {len(body)}"
+                )
+            raw = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV payload missing fmt or data chunk")
+    if fmt["audio_format"] != 1:
+        raise ValueError(
+            f"unsupported WAV audio format {fmt['audio_format']} (need "
+            "PCM=1; compressed WAV needs codec libraries)"
+        )
+    bits, ch = fmt["bits"], max(fmt["n_channels"], 1)
+    if bits == 8:
+        samples = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+        )
+    elif bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif bits == 32:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.int32)
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits} (need 8/16/32)")
+    n_frames = len(samples) // ch
+    return samples[: n_frames * ch].reshape(n_frames, ch), fmt["sample_rate"]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames,) or (n_frames, n_channels) ints -> 16-bit PCM WAV bytes
+    (deterministic fixture twin of decode_wav)."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n_channels = arr.shape[1]
+    raw = arr.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    return (
+        b"RIFF"
+        + (36 + len(raw)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")           # bits
+        + b"data"
+        + len(raw).to_bytes(4, "little")
+        + raw
+    )
+
+
+def extract_audio_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Batch audio feature extraction over binary WAV payloads via
+    mapInPandas: rate/channels/duration plus amplitude stats (mean, RMS
+    rounded to 6 dp) — the audio twin of extract_image_features, same Arrow
+    batch shape. Rows with empty payloads yield zeroed features."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(b) if b is not None else b""
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(payload))
+                if len(payload) == 0:
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "duration_ms"):
+                        out[k].append(0)
+                    out["mean_amp"].append(0.0)
+                    out["rms6"].append(0.0)
+                    continue
+                samples, rate = decode_wav(payload)
+                flat = samples.astype(np.float64)
+                n = samples.shape[0]
+                out["sample_rate"].append(int(rate))
+                out["n_channels"].append(int(samples.shape[1]))
+                out["n_samples"].append(int(n))
+                out["duration_ms"].append(
+                    int(n * 1000 // rate) if rate else 0
+                )
+                out["mean_amp"].append(float(flat.mean()))
+                out["rms6"].append(
+                    round(float(np.sqrt((flat ** 2).mean())), 6)
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:

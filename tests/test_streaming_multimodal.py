@@ -227,6 +227,64 @@ def test_bmp_roundtrip_orientation_and_padding():
         decode_bmp(bytes(bad))
 
 
+def test_wav_roundtrip_and_chunk_walk():
+    import numpy as np
+
+    from em_connected_components_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(11)
+    mono = rng.randint(-3000, 3000, size=200).astype(np.int16)
+    got, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and got.shape == (200, 1)
+    assert (got[:, 0] == mono).all()
+    stereo = rng.randint(-3000, 3000, size=(50, 2)).astype(np.int16)
+    got, rate = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and got.shape == (50, 2)
+    assert (got == stereo).all()
+    # extra chunk between fmt and data must be skipped (RIFF chunk walk)
+    data = encode_wav(mono, 8000)
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + (6).to_bytes(4, "little") + b"junk12"  # padded to even
+    with_junk = data[:fmt_end] + junk + data[fmt_end:]
+    patched = bytearray(with_junk)
+    patched[4:8] = (len(with_junk) - 8).to_bytes(4, "little")
+    got, rate = decode_wav(bytes(patched))
+    assert (got[:, 0] == mono).all()
+    with pytest.raises(ValueError, match="audio format"):
+        bad = bytearray(data)
+        bad[20] = 3  # claim IEEE float
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\xff\xd8 not audio at all....")
+
+
+def test_extract_audio_features(spark):
+    import numpy as np
+
+    from em_connected_components_spark.functions.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    # constant amplitude 100 -> mean 100, rms 100; 8000 samples @ 8kHz = 1s
+    wav = encode_wav(np.full(8000, 100, dtype=np.int16), 8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, None)],
+        schema="media_id long, payload binary",
+    )
+    out = {r["media_id"]: r
+           for r in extract_audio_features(media).collect()}
+    r = out[1]
+    assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (8000, 1, 8000)
+    assert r["duration_ms"] == 1000
+    assert r["mean_amp"] == pytest.approx(100.0)
+    assert r["rms6"] == pytest.approx(100.0)
+    assert out[2]["n_bytes"] == 0 and out[2]["rms6"] == 0.0
+
+
 def test_extract_image_features_real_path(spark):
     import numpy as np
 

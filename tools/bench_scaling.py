@@ -233,10 +233,18 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
         edges = edges.persist()
         edges.count()
 
-    # one untimed warmup pass: JIT-compile the hook/contract code paths and
-    # touch every cached partition, so rep0 isn't systematically slower
+    # untimed warmup passes: JIT-compile the hook/contract code paths AND
+    # the calibration query's generated code, touching every cached
+    # partition — without the calibration warmup the FIRST bracket probe of
+    # every fresh JVM pays whole-stage-codegen+JIT (observed 56s vs 40s
+    # steady-state at local[2]), which would trip the 1.25x validity bound
+    # on the first workload in every run
     w = run_superstep()
     print(f"[worker {cpus}] warmup superstep: {w['wall_sec']}s",
+          file=sys.stderr, flush=True)
+    reset_caches()
+    wc = run_calibration()
+    print(f"[worker {cpus}] warmup calibration: {wc}s",
           file=sys.stderr, flush=True)
 
     for name, fn in (("superstep", run_superstep), ("cc_full", run_cc),

@@ -168,6 +168,25 @@ def main() -> None:
         forbid=["Exchange", "Window"],
     )
 
+    # 10. bucketed catalog read: hook-shaped agg on src starts with ZERO
+    # exchange — the on-disk HashPartitioning(src) layout feeds the groupBy
+    # directly (the 100 TB entry point for iterative CC/PageRank)
+    from em_connected_components_spark.sources.catalog import EdgeCatalog
+
+    btable = "emcc_audit_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {btable}")
+    bcat = EdgeCatalog(spark, "/tmp/emcc_audit_bucketed", buckets=4)
+    bcat.write_bucketed(canonicalize(edges), btable)
+    audit(
+        "bucketed catalog scan (exchange-free src aggregation)",
+        bcat.read_bucketed(btable).groupBy("src").agg(F.min("dst")),
+        ["Bucketed: true"],
+        "spark.table() read carries the bucket layout: groupBy(src) plans "
+        "partial+final HashAggregate with NO Exchange — streamed appends "
+        "(streaming_edge_ingest catalog sink) keep this property",
+        forbid=["Exchange"],
+    )
+
     out = ["# EXPLAIN audit — physical plans of the key operators",
            "",
            "Generated by `python tools/explain_audit.py` "

@@ -27,6 +27,9 @@ from em_connected_components_spark.operators import normalize as nrm
 from em_connected_components_spark.plans.connected_components import (
     connected_components,
 )
+from em_connected_components_spark.plans.incremental import (
+    incremental_connected_components,
+)
 from em_connected_components_spark.sources import tables as tbl
 
 OFFSET = tbl.OFFSET
@@ -192,6 +195,22 @@ def _q_cc_hub_seeded_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(
         edges, small_graph_threshold=0, broadcast_threshold_rows=0,
         hub_seeds=seeds,
+    ).orderBy("node")
+
+
+def _q_cc_incremental_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # incremental CC (plans/incremental.py): solve a deterministic 2/3 of
+    # the edge set, then fold the remaining 1/3 in as a delta batch via
+    # relabel -> solve-the-delta -> compose (the KKT driver's own internal
+    # composition, cpp/FunctionalSubproblemManager.h:181-296,620-656,
+    # applied online). Min-member labels compose EXACTLY, so the result is
+    # bit-identical to the full solve and shares its recursive-CTE oracle.
+    edges = tbl.edges_customer_nation(spark, sf)
+    batch1 = edges.filter(F.col("src") % 3 != 0)
+    delta = edges.filter(F.col("src") % 3 == 0)
+    base = connected_components(batch1, small_graph_threshold=0)
+    return incremental_connected_components(
+        base, delta, small_graph_threshold=0
     ).orderBy("node")
 
 
@@ -564,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_doubling_customer_nation": _q_cc_doubling_customer_nation,
         "cc_bucketed_customer_nation": _q_cc_bucketed_customer_nation,
         "cc_hub_seeded_customer_nation": _q_cc_hub_seeded_customer_nation,
+        "cc_incremental_customer_nation": _q_cc_incremental_customer_nation,
         "multimodal_image_features": _q_multimodal_image_features,
         "audio_features_docs": _q_audio_features_docs,
         "permute_ids_customer_nation": _q_permute_ids_customer_nation,
@@ -1007,6 +1027,9 @@ def oracle_sql() -> dict[str, str]:
         "cc_doubling_customer_nation": _cc_oracle(_EDGES_CN),
         "cc_bucketed_customer_nation": _cc_oracle(_EDGES_CN),
         "cc_hub_seeded_customer_nation": _cc_oracle(_EDGES_CN),
+        # incremental == full solve bit-for-bit (plans/incremental.py), so the
+        # delta-composed result shares the batch recursive-CTE oracle
+        "cc_incremental_customer_nation": _cc_oracle(_EDGES_CN),
         "multimodal_image_features": """
           SELECT doc_id AS media_id,
                  CAST(CASE WHEN doc_id % 2 = 0 THEN 59 ELSE 102 END

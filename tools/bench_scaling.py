@@ -74,6 +74,13 @@ LEVELS = tuple(
 )
 PR_ITERS = int(os.environ.get("SPARK_GRAFT_SCALING_PR_ITERS", "2"))
 RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "5"))
+# APPEND=1 seeds run_payloads from the existing BENCH/scaling.json (same
+# protocol, same input) so an interrupted multi-run protocol resumes instead
+# of discarding finished runs; RUNS then counts ADDITIONAL runs.
+# TARGET_VALID>0 stops early once every workload has that many valid runs —
+# the pre-registered validity rule itself is unchanged.
+APPEND = os.environ.get("SPARK_GRAFT_SCALING_APPEND", "") == "1"
+TARGET_VALID = int(os.environ.get("SPARK_GRAFT_SCALING_TARGET_VALID", "0"))
 BRACKET_TOL = 1.25  # pre-registered validity bound on before/after probes
 
 
@@ -343,7 +350,8 @@ def orchestrate() -> None:
     protocol = (
         f"same parquet input, fresh JVM per level, local[{lo}] vs "
         f"local[{hi}], shuffle_partitions=2*cores, min of {REPS} reps "
-        f"per workload per run, {RUNS} full protocol run(s), "
+        "per workload per run, runs[] holds every completed protocol run "
+        "(append-resumable; interrupted protocols keep finished runs), "
         "spark.catalog.clearCache() + untimed input re-stage between "
         "reps and probes (prevents plan-identical cache reuse across reps). "
         "Every workload is bracketed by a calibration probe (one fully "
@@ -361,7 +369,31 @@ def orchestrate() -> None:
     )
 
     run_payloads: list[dict] = []
-    for run_idx in range(RUNS):
+    scaling_path = os.path.join(REPO, "BENCH", "scaling.json")
+    if APPEND and os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            prior = json.load(f)
+        if prior.get("input", {}).get("scale", SCALE) != SCALE:
+            raise SystemExit("APPEND=1 but existing scaling.json used a "
+                             "different input scale — refusing to mix")
+        run_payloads = prior["runs"]
+        print(f"[scaling] append mode: resuming after {len(run_payloads)} "
+              "recorded runs", file=sys.stderr)
+
+    def _valid_counts() -> dict:
+        return {
+            wl: sum(1 for r in run_payloads if r["valid"].get(wl))
+            for wl in workloads
+        }
+
+    base = len(run_payloads)
+    for run_idx in range(base, base + RUNS):
+        if TARGET_VALID and all(
+            c >= TARGET_VALID for c in _valid_counts().values()
+        ):
+            print(f"[scaling] target of {TARGET_VALID} valid runs per "
+                  f"workload reached: {_valid_counts()}", file=sys.stderr)
+            break
         results = {}
         for cpus in LEVELS:
             out = os.path.join(WORK, f"result_r{run_idx}_local{cpus}.json")

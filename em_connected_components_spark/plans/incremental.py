@@ -22,12 +22,17 @@ components. Composing that back over the old map yields labels bit-identical
 to a full recompute over (old edges ∪ delta) — asserted against the same
 recursive-CTE oracle as the batch path.
 
-Scale shape (the reason this exists): cost is ONE pass over the label table
-(two shuffled relabel joins keyed on node — or broadcast, when the delta's
-label slice fits) plus CC on the RELABELED delta, whose size is bounded by
-the batch, not the graph. A 100 TB web graph with a 10 GB nightly crawl
-delta touches the 10 GB delta iteratively and the label table linearly;
-the full-recompute alternative re-shuffles all 100 TB every round.
+Scale shape (the reason this exists): when the delta node set fits the
+byte-gated broadcast bound (every streaming micro-batch), the n-row label
+table is never shuffled — one broadcast semi-join carves the delta's label
+slice, the slice broadcasts into both relabel joins, and the compose build
+side is the delta's own solution — so the cost is scan-only passes over the
+labels plus CC on the RELABELED delta, whose size is bounded by the batch,
+not the graph. Above the bound (a huge nightly delta) the relabels fall
+back to one shuffled pass over the labels. Either way a 100 TB web graph
+with a 10 GB crawl delta touches the delta iteratively and the label table
+linearly; the full-recompute alternative re-shuffles all 100 TB per round,
+for every round of the contraction loop.
 """
 
 from __future__ import annotations
@@ -56,9 +61,19 @@ def incremental_connected_components(
     both. Returns the star map of the UNION graph, bit-identical to
     `connected_components(old_edges UNION new_edges)`.
 
-    ``broadcast_labels=True`` broadcasts the old label table into the two
-    relabel joins — only when it fits the byte-gated bound (small graphs /
-    tests); the default shuffled join is the 100 TB path. The compose join's
+    Join shape (the n-row label table is NEVER shuffled): relabel is a
+    LEFT-OUTER join and Spark can only broadcast the RIGHT side of one, so
+    joining the delta directly against the full label table would sort-merge
+    — shuffling all n label rows. Instead ONE broadcast semi-join (delta
+    node set broadcast, labels scanned) carves the delta's label SLICE
+    (≤ 2·|batch| rows); the slice broadcasts into both relabel joins and its
+    complement yields the fresh-node set. The slice hint is BYTE-GATED like
+    every forced hint in the engine (tuning.broadcast_row_bound): a delta
+    whose node set exceeds the participating heap falls back to shuffled
+    relabels against the full table — one n-row shuffle, still far cheaper
+    than the multi-round recompute this call replaces.
+    ``broadcast_labels=True`` keeps the legacy whole-table broadcast for
+    tiny graphs/tests. The compose join's
     build side (the delta's own solution, bounded by batch size) is always
     broadcast-eligible and left to AQE.
 
@@ -68,30 +83,70 @@ def incremental_connected_components(
     delta = new_edges if pre_canonicalized else canonicalize(new_edges)
     lab = labels.select("node", "comp")
 
-    # nodes the old map has never seen enter as their own representatives
     delta_nodes = (
         delta.select(F.col("src").alias("node"))
         .unionAll(delta.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
-    fresh = delta_nodes.join(lab.select("node"), on="node", how="left_anti")
+    if broadcast_labels:
+        lab_slice = lab  # legacy: whole table is broadcast-sized anyway
+        slice_hint = True
+    else:
+        # byte gate, same contract as the CC loop's forced hints: the slice
+        # (and the delta node set it mirrors) may only be broadcast when it
+        # fits the participating heap
+        from ..tuning import broadcast_row_bound
+
+        if delta_nodes.count() <= broadcast_row_bound(delta.sparkSession):
+            # ONE scan-only pass over the big label table (delta node set
+            # broadcast into a semi-join) carves the batch-bounded slice
+            # that every later join builds on
+            lab_slice = lab.join(
+                F.broadcast(delta_nodes), on="node", how="leftsemi"
+            ).persist()
+            slice_hint = True
+        else:
+            # delta too large to broadcast: fall back to shuffled relabels
+            # against the full table (one n-row shuffle — still far cheaper
+            # than the multi-round recompute this call replaces)
+            lab_slice = lab
+            slice_hint = False
+
+    # nodes the old map has never seen enter as their own representatives —
+    # the slice's complement within the delta node set (the anti build side
+    # inherits the slice's byte-gate clearance, so hint it explicitly)
+    slice_nodes = lab_slice.select("node")
+    fresh = delta_nodes.join(
+        F.broadcast(slice_nodes) if slice_hint else slice_nodes,
+        on="node",
+        how="left_anti",
+    )
     full = lab.unionByName(fresh.select("node", F.col("node").alias("comp")))
 
-    # relabel the delta through the old star map (unknown endpoints keep
-    # their own id via the relabel's left-outer coalesce), then re-canonicalize:
+    # relabel the delta through the slice (unknown endpoints keep their own
+    # id via the relabel's left-outer coalesce), then re-canonicalize:
     # endpoints that land in the same old component become self-loops and drop
-    re = relabel(delta, lab, "src", broadcast_labels=broadcast_labels)
-    re = relabel(re, lab, "dst", broadcast_labels=broadcast_labels)
+    re = relabel(delta, lab_slice, "src", broadcast_labels=slice_hint)
+    re = relabel(re, lab_slice, "dst", broadcast_labels=slice_hint)
     re = canonicalize(re)
 
-    # solve the (batch-bounded) contracted delta with the full engine
+    # solve the (batch-bounded) contracted delta with the full engine; its
+    # result is materialized (localCheckpoint) so the caches can be released
+    # — the one later `fresh` recompute is a scan, never a shuffle
     delta_labels = connected_components(re, pre_canonicalized=True, **cc_kwargs)
+    if lab_slice is not lab:
+        lab_slice.unpersist()
+    delta_nodes.unpersist()
 
     # compose: a node's final comp is its old rep's new label when the rep
     # participated in the delta, else unchanged
     dl = delta_labels.select(
         F.col("node").alias("__rep"), F.col("comp").alias("__newc")
     )
+    if slice_hint:
+        # dl's vertex set is a subset of the byte-gate-cleared delta nodes
+        dl = F.broadcast(dl)
     return full.join(dl, full["comp"] == dl["__rep"], how="left").select(
         "node", F.coalesce("__newc", "comp").alias("comp")
     )

@@ -112,6 +112,103 @@ def streaming_edge_ingest(
     )
 
 
+def streaming_label_maintenance(
+    edge_stream: DataFrame,
+    labels_root: str,
+    checkpoint_dir: str,
+    keep_versions: int = 2,
+    **cc_kwargs,
+):
+    """Labels follow the crawl: a foreachBatch sink that keeps a (node, comp)
+    component-label table current as edge micro-batches arrive.
+
+    Composes the streaming front door with `plans/incremental`: the FIRST
+    micro-batch is solved with the full engine; every later batch folds in
+    via incremental_connected_components — relabel the batch through the
+    current labels, CC on the batch-bounded contracted delta, compose. Labels
+    after every epoch are bit-identical to a batch solve over all edges seen
+    so far (min-member composition is exact; tests assert equality per epoch).
+
+    Durability mirrors RoundCheckpointer's idiom (Hadoop FS only, cluster
+    portable): each epoch writes ``{labels_root}/v{epoch}`` then atomically
+    rename-commits a one-line manifest pointing at it. Versioned dirs, never
+    in-place overwrite — previously returned readers keep their file lists.
+    At-least-once replay is safe WITHOUT epoch bookkeeping because folding a
+    batch into labels that already include it is a mathematical no-op: every
+    replayed edge relabels to a self-loop and the delta graph is empty (the
+    idempotency test pins this).
+
+    ``keep_versions`` old label versions are retained (readers of the
+    previous epoch may still be live); older dirs are deleted on commit.
+    ``cc_kwargs`` pass through to both the initial solve and each delta solve.
+    Returns a writeStream builder; pair with `.trigger(...)` + `.start()`.
+    Read the current table any time with `current_labels(spark, labels_root)`.
+    """
+    import json as _json
+
+    from ..checkpoint import _HadoopFS, _join
+    from ..operators.normalize import canonicalize
+    from ..plans.connected_components import connected_components
+    from ..plans.incremental import incremental_connected_components
+
+    manifest_name = "labels_manifest.json"
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs = _HadoopFS(spark, labels_root)
+        fs.mkdirs(labels_root)
+        edges = canonicalize(batch_df.select("src", "dst"))
+        mpath = _join(labels_root, manifest_name)
+        if fs.exists(mpath):
+            manifest = _json.loads(fs.read_bytes(mpath).decode("utf-8"))
+            prior = spark.read.parquet(manifest["path"])
+            labels = incremental_connected_components(prior, edges,
+                                                      pre_canonicalized=True,
+                                                      **cc_kwargs)
+            versions = manifest.get("versions", [])
+        else:
+            labels = connected_components(edges, pre_canonicalized=True,
+                                          **cc_kwargs)
+            versions = []
+        vdir = _join(labels_root, f"v{epoch_id}")
+        labels.write.mode("overwrite").parquet(vdir)
+        versions.append({"epoch": epoch_id, "path": vdir})
+        stale, versions = (
+            versions[: -(keep_versions + 1)],
+            versions[-(keep_versions + 1):],
+        )
+        tmp = mpath + ".tmp"
+        fs.write_bytes(tmp, _json.dumps(
+            {"path": vdir, "epoch": epoch_id, "versions": versions}
+        ).encode())
+        fs.rename_overwrite(tmp, mpath)  # commit point
+        # prune only AFTER the commit: a crash in between must never leave
+        # the (old) manifest pointing at a deleted version dir
+        for v in stale:
+            fs.delete(v["path"], recursive=True)
+
+    return (
+        edge_stream.writeStream.outputMode("append")
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def current_labels(spark, labels_root: str) -> DataFrame | None:
+    """Read the latest committed label table maintained by
+    `streaming_label_maintenance`, or None before the first epoch commits."""
+    import json as _json
+
+    from ..checkpoint import _HadoopFS, _join
+
+    fs = _HadoopFS(spark, labels_root)
+    mpath = _join(labels_root, "labels_manifest.json")
+    if not fs.exists(mpath):
+        return None
+    manifest = _json.loads(fs.read_bytes(mpath).decode("utf-8"))
+    return spark.read.parquet(manifest["path"])
+
+
 def running_degree_monitor(
     edge_stream: DataFrame, hub_threshold: int = 1000
 ) -> DataFrame:

@@ -102,6 +102,22 @@ def test_incremental_broadcast_labels_agrees(spark):
     assert _rows(a) == _rows(b) == _rows(_full(spark, old, new))
 
 
+def test_incremental_shuffled_fallback_agrees(spark):
+    # force the byte gate shut (spark.emcc.broadcast.maxRows=1): the delta
+    # node set no longer clears the broadcast bound, so the relabels take
+    # the shuffled full-table path — results must be identical
+    old = [(1, 2), (2, 3), (10, 11)]
+    new = [(3, 10), (50, 51)]
+    base = connected_components(_df(spark, old), small_graph_threshold=0)
+    spark.conf.set("spark.emcc.broadcast.maxRows", "1")
+    try:
+        inc = incremental_connected_components(base, _df(spark, new))
+        rows = _rows(inc)  # materialize under the forced gate
+    finally:
+        spark.conf.unset("spark.emcc.broadcast.maxRows")
+    assert rows == _rows(_full(spark, old, new))
+
+
 def test_incremental_result_is_star_map(spark):
     old = [(1, 2), (5, 6)]
     new = [(2, 5), (7, 8)]

@@ -187,6 +187,43 @@ def main() -> None:
         forbid=["Exchange"],
     )
 
+    # 11. incremental CC: the n-row label table is scanned, never shuffled —
+    # every join against it is an explicit-hint broadcast (semi-join slice,
+    # relabels, anti, compose). Auto-broadcast disabled so only the engine's
+    # own byte-gated hints can produce a broadcast: any SortMergeJoin here
+    # would mean a full label shuffle leaked back in.
+    from em_connected_components_spark.plans.incremental import (
+        incremental_connected_components,
+    )
+
+    lab_dir = "/tmp/emcc_audit_labels"
+    spark.range(0, 200_000).select(
+        F.col("id").alias("node"),
+        (F.col("id") - F.col("id") % 2).alias("comp"),
+    ).write.mode("overwrite").parquet(lab_dir)
+    big_labels = spark.read.parquet(lab_dir)
+    delta = spark.createDataFrame(
+        [(4, 11), (200_001, 200_003), (8, 200_001)], "src long, dst long"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    audit(
+        "incremental CC (label table scanned, never shuffled)",
+        incremental_connected_components(
+            big_labels, delta, small_graph_threshold=0
+        ),
+        ["BroadcastHashJoin", "LeftSemi"],
+        "a crawl-delta fold touches the n-row star map only through "
+        "broadcast-built joins (slice semi-join, fresh-node anti, compose); "
+        "the only exchanges are on the batch-bounded delta side. "
+        "Auto-broadcast is disabled here, so every broadcast in the plan is "
+        "the engine's own byte-gated hint",
+        forbid=["SortMergeJoin"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                   str(64 * 1024 * 1024))
+
     out = ["# EXPLAIN audit — physical plans of the key operators",
            "",
            "Generated by `python tools/explain_audit.py` "
@@ -214,7 +251,19 @@ def main() -> None:
                        + ", ".join(f"`{w}`" for w in forbid))
         out.append("")
         out.append("```")
-        out.append(text.rstrip())
+        # The CHECKS above always run on the FULL plan text; only the
+        # rendering is capped — a deep composed plan (incremental CC inlines
+        # the whole delta solve) emits thousands of per-node detail lines
+        # that would drown the other sections. Keep the operator tree plus
+        # the first detail lines, and say exactly how much was elided.
+        lines = text.rstrip().split("\n")
+        cap = 400
+        if len(lines) > cap:
+            lines = lines[:cap] + [
+                f"... [{len(lines) - cap} node-detail lines elided; the "
+                "PASS/FAIL fragment checks ran on the full text]"
+            ]
+        out.append("\n".join(lines))
         out.append("```")
         out.append("")
 

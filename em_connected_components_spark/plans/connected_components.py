@@ -424,7 +424,9 @@ def _dispatch_jump(
     return _pointer_jump(parents)
 
 
-def _union_find_finish(edges: DataFrame) -> DataFrame:
+def _union_find_finish(
+    edges: DataFrame, single_partition: str = "coalesce"
+) -> DataFrame:
     """Solve the (small) contracted edge table with the vectorized numpy CC
     kernel in one executor task; returns the (node, comp) star map.
 
@@ -435,17 +437,19 @@ def _union_find_finish(edges: DataFrame) -> DataFrame:
     multiple seconds, and no driver round-trip. Roots are min members,
     matching the distributed rounds.
 
-    The CC loop only reaches this with a materialized edge table (the
-    contracted table is localCheckpoint- or parquet-backed by the round
-    tail), so the single partition comes from coalesce(1) — the kernel task
-    reads the stored blocks directly, skipping the repartition shuffle stage
-    (one fewer fixed-latency stage in the serial finish tail).
+    ``single_partition="coalesce"`` (default) is for a MATERIALIZED edge
+    table (localCheckpoint- or parquet-backed): the kernel task reads the
+    stored blocks directly, skipping the repartition shuffle stage (one
+    fewer fixed-latency stage in the serial finish tail). The fused finish
+    passes ``"shuffle"`` instead, because there its input is the LAZY
+    contract plan: repartition(1) keeps the contract running at full
+    parallelism and funnels only its (small) output into the kernel task.
     """
     from ..operators.numpy_cc import solve_cc_numpy
 
     return _single_task_map(
         edges.select("src", "dst"), solve_cc_numpy, ("node", "comp"),
-        single_partition="coalesce",
+        single_partition=single_partition,
     )
 
 
@@ -464,6 +468,7 @@ def connected_components(
     heavy_hitter_split: bool = True,
     hub_seeds: list[int] | None = None,
     seed: int = 42,
+    fuse_finish: bool = False,
 ) -> DataFrame:
     """Exact CC labels (node, comp) with comp = min member of the component.
 
@@ -499,6 +504,12 @@ def connected_components(
     directly from this list, skipping the degree-scan detect job entirely;
     later rounds re-detect from the (contracted) degrees as usual, since
     contraction renames nodes.
+    ``fuse_finish``: opt-in — when a round's stats job predicts the NEXT
+    contracted graph fits the semi-external kernel, pipe the contraction
+    straight into the one-task finish inside the same job instead of
+    materializing it first (one fewer job + localCheckpoint + broadcast
+    rebuild). Default False by measured A/B (BENCH/fuse_ab.json): on this
+    bench the unfused tail's materialized input beats the saved job.
     """
     spark = edges.sparkSession
     metrics = metrics if metrics is not None else CCMetrics()
@@ -652,6 +663,82 @@ def connected_components(
                         ).collect()
                     ]
             parents_full.unpersist()
+
+        # --- fused finish (opt-in): contract straight into the kernel ---
+        # When the round's free stats job says the contracted graph will fit
+        # the semi-external kernel (t_est approximates its NODE count; the
+        # kernel is O(m) numpy either way, so a miss is slow-but-correct,
+        # never wrong), skip the per-round materialization entirely: the
+        # contract plan funnels through repartition(1) into the kernel task
+        # within the SAME job, and the final compose is the only n-row pass.
+        # vs the unfused tail this removes one full job + one small-table
+        # localCheckpoint + one broadcast rebuild — fixed serial cost.
+        # MEASURED default-off: an interleaved 4-pair A/B at local[8] on the
+        # 129M-edge rMAT s23 (BENCH/fuse_ab.json) gave fused 33.3s vs
+        # unfused 27.9s median — the saved job does not pay for losing the
+        # materialized (localCheckpoint) input that lets the kernel task
+        # read stored blocks, so the fusion is kept as an opt-in for
+        # workloads where round-tail materialization dominates (many tiny
+        # rounds). Guards: never under a checkpointer (resume needs the
+        # per-round tables), never on the last allowed round (max_rounds
+        # callers measure exactly-one-superstep), boruvka only (star rounds
+        # compute no t_est).
+        fuse_now = (
+            fuse_finish
+            and strategy == "boruvka"
+            and checkpointer is None
+            and rnd + 1 < max_rounds
+            and 0 < t_est <= small_graph_threshold
+        )
+        if fuse_now:
+            t_hookjump = time.time() - t0
+            t1 = time.time()
+            e_next = contract(
+                e, round_labels, broadcast_labels=do_broadcast,
+                heavy_hitters=heavy,
+            )
+            obs = Observation()
+            observed = e_next.observe(obs, F.count(F.lit(1)).alias("m_next"))
+            local_labels = _union_find_finish(
+                observed, single_partition="shuffle"
+            )
+            mid = (
+                round_labels
+                if labels is None
+                else compose_labels(
+                    labels, round_labels, broadcast_inner=do_broadcast
+                )
+            )
+            labels = compose_labels(mid, local_labels, broadcast_inner=True)
+            labels = labels.localCheckpoint(eager=True)
+            try:
+                m_next = int(obs.get["m_next"])
+            except Exception:
+                # AQE can optimize the observed node out of the broadcast
+                # subtree (seen when the contraction empties the graph and
+                # empty-relation propagation eliminates the join); fall back
+                # to one count over the cached-input contract plan — rare,
+                # and trivial exactly when it happens
+                m_next = e_next.count()
+            metrics.add(
+                round=rnd, kind="boruvka_superstep", m=m, m_next=m_next,
+                n_nodes=n_before, wall_sec=t_hookjump,
+                edges_per_sec=m / max(t_hookjump, 1e-9),
+                broadcast=do_broadcast, n_heavy_hitters=len(heavy),
+                hub_source=hub_source, fused_finish=True,
+            )
+            metrics.add(
+                round=rnd + 1, kind="unionfind_finish", m=m_next,
+                wall_sec=time.time() - t1, fused=True,
+            )
+            _release_jump_cache(round_labels)
+            if held_labels_cache is not None:
+                _release_jump_cache(held_labels_cache)
+                held_labels_cache = None
+            e.unpersist()
+            m = 0
+            break
+
         e_next = contract(
             e, round_labels, broadcast_labels=do_broadcast,
             heavy_hitters=heavy,

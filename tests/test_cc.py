@@ -205,3 +205,33 @@ def test_metrics_and_convergence(spark):
         assert r["wall_sec"] > 0
         if r["kind"] == "boruvka_superstep":
             assert r["m_next"] < r["m"]  # monotone edge shrink
+
+
+@pytest.mark.parametrize("small_threshold", [
+    # this gilbert's measured round profile: m=[3000,1087,334,51],
+    # hook-parent t_est~[1600,440,75,..]. The fuse fires when
+    # t_est <= threshold < m, so:
+    2500,  # fires on round 0 — labels still None
+    700,   # fires on round 1 — exercises the compose-with-prior-labels path
+])
+def test_fused_finish_agrees(spark, small_threshold):
+    # opt-in fused finish (contract piped straight into the one-task kernel,
+    # BENCH/fuse_ab.json) must produce the identical partition as the default
+    # unfused tail — both when it fires on round 0 and on a later round.
+    edges = canonicalize(gen.gilbert(spark, n=4000, avg_degree=1.5, seed=7))
+    from em_connected_components_spark.plans.connected_components import (
+        CCMetrics,
+    )
+
+    metrics = CCMetrics()
+    fused = connected_components(
+        edges, small_graph_threshold=small_threshold,
+        pre_canonicalized=True, fuse_finish=True, metrics=metrics,
+    )
+    plain = connected_components(
+        edges, small_graph_threshold=small_threshold, pre_canonicalized=True,
+    )
+    assert _partition(fused) == _partition(plain)
+    _assert_star_map(fused)
+    # the fused route must actually have fired, else this test is vacuous
+    assert any(r.get("fused_finish") for r in metrics.rounds)

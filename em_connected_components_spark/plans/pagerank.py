@@ -25,7 +25,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -129,8 +129,15 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("contrib"))
         )
-        new_ranks = (
-            base.join(contribs, on="node", how="left")
+        # The update joins contribs onto the PREVIOUS rank table (not the
+        # rank-free `base`): same cardinality, and carrying the old rank
+        # through lets the L1 convergence delta ride the checkpoint job as
+        # an Observation — the separate ranks⋈new_ranks join + .collect()
+        # action that used to run every `check_every` iterations is gone
+        # (the same fusion that removed CC's m_next job; VERDICT r4 #2).
+        upd = (
+            ranks.withColumnRenamed("rank", "__prev")
+            .join(contribs, on="node", how="left")
             .crossJoin(dangling)
             .select(
                 "node",
@@ -140,13 +147,23 @@ def pagerank(
                     * (F.coalesce("contrib", F.lit(0.0)) + F.col("__dm") / n)
                 ).alias("rank"),
                 "out_deg",
+                "__prev",
             )
         )
-        new_ranks = new_ranks.localCheckpoint(eager=True)
-
-        delta = None
-        if (it + 1) % check_every == 0 or it == max_iters - 1:
-            delta = (
+        obs = Observation()
+        upd = upd.observe(
+            obs, F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("l1")
+        )
+        new_ranks = upd.select("node", "rank", "out_deg").localCheckpoint(
+            eager=True
+        )
+        try:
+            observed_delta = float(obs.get["l1"])
+        except Exception:
+            # ultra-defensive: if the observation node is ever optimized
+            # away, recompute the delta with the pre-fusion join (rare/never
+            # in practice — kept for parity with CC's m_next fallback)
+            observed_delta = (
                 new_ranks.select("node", "rank")
                 .join(
                     ranks.select("node", F.col("rank").alias("prev")), on="node"
@@ -154,7 +171,18 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
                 .collect()[0]["d"]
             )
-        metrics.add(iteration=it, wall_sec=time.time() - t0, l1_delta=delta)
+
+        # stopping behavior is IDENTICAL to the unfused plan: the delta is
+        # only consulted at check_every boundaries (and the last iteration),
+        # exactly where the old code computed it — it is merely free now,
+        # so metrics can record it every iteration
+        delta = None
+        if (it + 1) % check_every == 0 or it == max_iters - 1:
+            delta = observed_delta
+        metrics.add(
+            iteration=it, wall_sec=time.time() - t0, l1_delta=delta,
+            observed_l1=observed_delta,
+        )
         ranks = new_ranks
         if delta is not None and delta < tol:
             break
@@ -231,8 +259,12 @@ def pagerank_spmv(
             .groupBy("node")
             .agg(F.sum("contrib").alias("contrib"))
         )
-        new_ranks = (
-            base.join(contribs, on="node", how="left")
+        # same Observation fusion as `pagerank`: the previous rank rides the
+        # update join so the L1 delta is observed on the checkpoint job —
+        # no separate delta join/action at check boundaries
+        upd = (
+            ranks.withColumnRenamed("rank", "__prev")
+            .join(contribs, on="node", how="left")
             .crossJoin(dangling)
             .select(
                 "node",
@@ -242,21 +274,37 @@ def pagerank_spmv(
                     * (F.coalesce("contrib", F.lit(0.0)) + F.col("__dm") / n)
                 ).alias("rank"),
                 "out_deg",
+                "__prev",
             )
-            .localCheckpoint(eager=True)
         )
+        obs = Observation()
+        upd = upd.observe(
+            obs, F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("l1")
+        )
+        new_ranks = upd.select("node", "rank", "out_deg").localCheckpoint(
+            eager=True
+        )
+        ranks_prev = ranks
+        ranks = new_ranks
         if (it + 1) % check_every == 0 or it == max_iters - 1:
-            delta = (
-                new_ranks.select("node", "rank")
-                .join(ranks.select("node", F.col("rank").alias("prev")), on="node")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
-                .collect()[0]["d"]
-            )
-            ranks = new_ranks
+            try:
+                delta = float(obs.get["l1"])
+            except Exception:
+                delta = (
+                    new_ranks.select("node", "rank")
+                    .join(
+                        ranks_prev.select(
+                            "node", F.col("rank").alias("prev")
+                        ),
+                        on="node",
+                    )
+                    .agg(
+                        F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d")
+                    )
+                    .collect()[0]["d"]
+                )
             if delta < tol:
                 break
-        else:
-            ranks = new_ranks
 
     base.unpersist()
     bucketed.unpersist()

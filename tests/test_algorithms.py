@@ -70,6 +70,41 @@ def test_pagerank_dangling_mass(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_fused_check_stopping_identical(spark):
+    """The Observation-fused L1 check must stop at the SAME iteration as the
+    pre-fusion plan: the delta is known every iteration (observed_l1) but is
+    only consulted at check_every boundaries, so even when convergence is
+    reached between boundaries the loop runs on to the next boundary —
+    exactly the unfused behavior (VERDICT r4 #2 done-bar)."""
+    from em_connected_components_spark.plans.pagerank import PRMetrics
+
+    edges = canonicalize(gen.gilbert(spark, n=120, avg_degree=2.0, seed=7))
+    edge_list = [(r["src"], r["dst"]) for r in edges.collect()]
+
+    # dry-run the oracle to find a tol that converges strictly between two
+    # check boundaries for check_every=4: pick the observed L1 at some
+    # iteration k with k % 4 not in {0, 3}
+    m = PRMetrics()
+    pagerank(edges, max_iters=24, tol=0.0, check_every=100, metrics=m)
+    l1 = [it["observed_l1"] for it in m.iterations]
+    assert all(v is not None for v in l1)
+    # choose tol so the first iteration with delta < tol is NOT a boundary
+    k = 5  # 0-indexed; boundaries for check_every=4 are it = 3, 7, 11, ...
+    tol = (l1[k] + l1[k - 1]) / 2.0
+    assert l1[k] < tol <= l1[k - 1]
+
+    m2 = PRMetrics()
+    pagerank(edges, max_iters=24, tol=tol, check_every=4, metrics=m2)
+    iters_run = len(m2.iterations)
+    # unfused semantics: first consulted boundary at or after k=5 is it=7
+    # (the 8th iteration) — the loop must NOT stop at it=5 even though
+    # observed_l1 already crossed tol there
+    assert iters_run == 8, [it["l1_delta"] for it in m2.iterations]
+    assert m2.iterations[5]["l1_delta"] is None  # not consulted off-boundary
+    assert m2.iterations[5]["observed_l1"] < tol  # ... though it had crossed
+    assert m2.iterations[7]["l1_delta"] < tol  # consulted + stopped here
+
+
 def test_label_propagation_equals_cc(spark):
     edges = canonicalize(gen.gilbert(spark, n=300, avg_degree=1.2, seed=33))
     lp = label_propagation(edges)

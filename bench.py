@@ -119,7 +119,13 @@ def main() -> None:
         labels, metrics = connected_components_metrics(
             edges, small_graph_threshold=100_000
         )
-        n_comp = labels.select(F.countDistinct("comp")).collect()[0][0]
+        # exact count tracked free by the solve (r5); labels themselves are
+        # already fully materialized by the solve's eager checkpoint, so no
+        # separate consume action is needed — fall back to the scan only if
+        # the metric is untracked
+        n_comp = metrics.n_components
+        if n_comp is None:
+            n_comp = labels.select(F.countDistinct("comp")).collect()[0][0]
         supersteps = [
             r for r in metrics.rounds if r["kind"] == "boruvka_superstep"
         ]
@@ -142,12 +148,15 @@ def main() -> None:
         labels, metrics = connected_components_metrics(
             edges, pre_canonicalized=True, small_graph_threshold=100_000
         )
-        labels.select(F.countDistinct("comp")).collect()
+        n_comp = metrics.n_components
+        if n_comp is None:
+            n_comp = labels.select(F.countDistinct("comp")).collect()[0][0]
         supersteps = [
             r for r in metrics.rounds if r["kind"] == "boruvka_superstep"
         ]
         return {
             "alg_sec": round(time.time() - t0, 3),
+            "n_components": n_comp,
             "rounds_to_convergence": len(metrics.rounds),
             "superstep_edges_per_sec": [
                 round(r["edges_per_sec"], 1) for r in supersteps

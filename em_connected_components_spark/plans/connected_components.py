@@ -59,6 +59,11 @@ class CCMetrics:
     (cpp/run-boruvka.cpp:32-59; SURVEY.md §6)."""
 
     rounds: list[dict] = field(default_factory=list)
+    #: exact count of connected components, tracked as a free by-product of
+    #: jobs the solve runs anyway (see connected_components docstring); None
+    #: when the run did not converge or the path doesn't track it (KKT, G6
+    #: pre-pass, checkpoint resume)
+    n_components: int | None = None
 
     @property
     def n_rounds(self) -> int:
@@ -469,6 +474,7 @@ def connected_components(
     hub_seeds: list[int] | None = None,
     seed: int = 42,
     fuse_finish: bool = False,
+    profile_finish: bool = False,
 ) -> DataFrame:
     """Exact CC labels (node, comp) with comp = min member of the component.
 
@@ -510,6 +516,14 @@ def connected_components(
     materializing it first (one fewer job + localCheckpoint + broadcast
     rebuild). Default False by measured A/B (BENCH/fuse_ab.json): on this
     bench the unfused tail's materialized input beats the saved job.
+
+    On convergence ``metrics.n_components`` holds the EXACT component count,
+    tracked as a free by-product (root-count aggregates riding the existing
+    stats job / finish Observation — see the bookkeeping comment in the
+    loop); callers that previously ran ``countDistinct("comp")`` over the
+    returned n-row table can read it instead, removing one full scan job
+    from the solve tail. None when not tracked (KKT strategy, G6 pre-pass,
+    checkpoint resume, stopped at max_rounds before convergence).
     """
     spark = edges.sparkSession
     metrics = metrics if metrics is not None else CCMetrics()
@@ -567,6 +581,25 @@ def connected_components(
     n_prev: int | None = None
     held_labels_cache: DataFrame | None = None  # round-0 labels kept cached
 
+    # --- exact component-count bookkeeping (zero extra jobs) -------------
+    # Invariant: comp_count = number of distinct comps in the composed label
+    # table so far. Per round, if the round's graph has n nodes (every one a
+    # comp of the composition) and its label map has R distinct roots, then
+    # comp_count' = R + comp_count - n (comps without surviving edges are
+    # untouched). The base case folds in: before round 0 the labeling is the
+    # identity on the n_0 graph nodes, so comp_count_0 = R_0. Each quantity
+    # rides a job the solve already runs: hook roots satisfy comp == node
+    # (min-hook ⇒ parent ≤ node, no cycles) and jumping never changes the
+    # root set, so R is one plain SUM(node = comp) in the existing stats
+    # agg; a star round removes exactly its hooked sources (break_paths
+    # guarantees sources are never centers), so comp_count -= hook_count
+    # (already counted); the finish kernel's (n_fin, R_fin) ride the
+    # compose/checkpoint job as an Observation. This replaces the separate
+    # countDistinct scan callers ran for n_components — one fewer n-row job
+    # in the cc_full tail (VERDICT r4 #1b).
+    comp_count: int | None = None
+    comp_track = start_round == 0 and local_solve_bucket_width == 0
+
     for rnd in range(start_round, max_rounds):
         if m == 0:
             break
@@ -575,6 +608,24 @@ def connected_components(
         if m <= small_graph_threshold:
             # --- semi-external finish: one-task vectorized CC solve ---
             local_labels = _union_find_finish(e)
+            obs_fin = Observation()
+            local_labels = local_labels.observe(
+                obs_fin,
+                F.count(F.lit(1)).alias("n_fin"),
+                F.sum(
+                    (F.col("node") == F.col("comp")).cast("long")
+                ).alias("r_fin"),
+            )
+            kernel_wall = compose_wall = None
+            if profile_finish:
+                # attribution mode (tools/profile_cc_tail.py): materialize
+                # the kernel output first so its wall separates from the
+                # compose scan. Costs one extra tiny job vs the production
+                # single-job finish — attribution only, never the bench path.
+                t_k = time.time()
+                local_labels = local_labels.localCheckpoint(eager=True)
+                kernel_wall = time.time() - t_k
+            t_c = time.time()
             if labels is None:
                 labels = local_labels
             else:
@@ -583,13 +634,28 @@ def connected_components(
             # materialize before dropping the cached edge table the kernel
             # task reads from
             labels = labels.localCheckpoint(eager=True)
+            if profile_finish:
+                compose_wall = time.time() - t_c
+            if comp_track:
+                try:
+                    n_fin = int(obs_fin.get["n_fin"])
+                    r_fin = int(obs_fin.get["r_fin"])
+                    comp_count = (
+                        r_fin
+                        if comp_count is None
+                        else r_fin + comp_count - n_fin
+                    )
+                except Exception:
+                    comp_count = None  # observation optimized away (rare)
             if held_labels_cache is not None:
                 _release_jump_cache(held_labels_cache)
                 held_labels_cache = None
-            metrics.add(
-                round=rnd, kind="unionfind_finish", m=m,
-                wall_sec=time.time() - t0,
-            )
+            fin_rec = {"round": rnd, "kind": "unionfind_finish", "m": m,
+                       "wall_sec": time.time() - t0}
+            if profile_finish:
+                fin_rec["kernel_wall"] = kernel_wall
+                fin_rec["compose_wall"] = compose_wall
+            metrics.add(**fin_rec)
             e.unpersist()
             m = 0
             break
@@ -605,6 +671,11 @@ def connected_components(
                 e, seed=seed + rnd
             ).persist()
             n_before = round_labels.count()
+            if comp_track and comp_count is not None:
+                # every hooked source stops being a component root; centers
+                # are never sources (break_paths), so the distinct-comp
+                # count drops by exactly the hook count
+                comp_count -= n_before
         else:
             parents_full = _hook_parents(e).persist()
             # ONE job fills the cache and returns both dispatch inputs:
@@ -613,8 +684,18 @@ def connected_components(
             stats = parents_full.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.approx_count_distinct("comp").alias("t"),
+                F.sum(
+                    (F.col("node") == F.col("comp")).cast("long")
+                ).alias("r"),
             ).collect()[0]
             n_before, t_est = stats["n"], stats["t"]
+            if comp_track:
+                r_exact = int(stats["r"] or 0)
+                comp_count = (
+                    r_exact
+                    if comp_count is None
+                    else r_exact + comp_count - n_before
+                )
             parents = parents_full.select("node", "comp")
             round_labels = _dispatch_jump(
                 parents, n_before, t_est=t_est,
@@ -702,6 +783,14 @@ def connected_components(
             local_labels = _union_find_finish(
                 observed, single_partition="shuffle"
             )
+            obs_fin = Observation()
+            local_labels = local_labels.observe(
+                obs_fin,
+                F.count(F.lit(1)).alias("n_fin"),
+                F.sum(
+                    (F.col("node") == F.col("comp")).cast("long")
+                ).alias("r_fin"),
+            )
             mid = (
                 round_labels
                 if labels is None
@@ -731,6 +820,15 @@ def connected_components(
                 round=rnd + 1, kind="unionfind_finish", m=m_next,
                 wall_sec=time.time() - t1, fused=True,
             )
+            if comp_track:
+                try:
+                    n_fin = int(obs_fin.get["n_fin"])
+                    r_fin = int(obs_fin.get["r_fin"])
+                    # comp_count already folded this round's hook/jump via
+                    # the stats update above; fold the kernel solve on top
+                    comp_count = r_fin + comp_count - n_fin
+                except Exception:
+                    comp_count = None
             _release_jump_cache(round_labels)
             if held_labels_cache is not None:
                 _release_jump_cache(held_labels_cache)
@@ -802,6 +900,12 @@ def connected_components(
     if labels is None:
         # no edges at all -> empty labeling
         labels = spark.createDataFrame([], schema="node long, comp long")
+        if comp_track:
+            metrics.n_components = 0
+    elif comp_track and m == 0 and comp_count is not None:
+        # converged (graph emptied or finish kernel ran): the bookkeeping
+        # equals countDistinct(comp) of the returned table — exact, free
+        metrics.n_components = comp_count
     if checkpointer is not None:
         labels = checkpointer.save_final(labels)
     return labels

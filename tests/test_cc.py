@@ -235,3 +235,82 @@ def test_fused_finish_agrees(spark, small_threshold):
     _assert_star_map(fused)
     # the fused route must actually have fired, else this test is vacuous
     assert any(r.get("fused_finish") for r in metrics.rounds)
+
+
+@pytest.mark.parametrize(
+    "maker, small_threshold",
+    [
+        # distributed rounds to natural exit (no finish kernel)
+        (lambda s: gen.path(s, 200), 0),
+        # straight to the finish kernel (labels None at finish)
+        (lambda s: canonicalize(gen.gilbert(s, n=400, avg_degree=1.5, seed=3)),
+         10**9),
+        # rounds then finish with a prior-labels compose
+        (lambda s: canonicalize(gen.gilbert(s, n=4000, avg_degree=1.5, seed=7)),
+         700),
+        # many components: disjoint cliques
+        (lambda s: gen.cliques(s, k=5, count=13), 0),
+        (lambda s: gen.cliques(s, k=5, count=13), 40),
+    ],
+)
+def test_n_components_metric_exact(spark, maker, small_threshold):
+    """metrics.n_components (free bookkeeping) == countDistinct(comp)."""
+    edges = maker(spark)
+    labels, metrics = connected_components_metrics(
+        edges, small_graph_threshold=small_threshold
+    )
+    want = labels.select("comp").distinct().count()
+    assert metrics.n_components == want
+
+
+def test_n_components_metric_fused_and_star(spark):
+    from em_connected_components_spark.plans.connected_components import (
+        CCMetrics,
+        connected_components,
+    )
+    from em_connected_components_spark.plans.policy import Policy
+
+    edges = canonicalize(gen.gilbert(spark, n=4000, avg_degree=1.5, seed=7))
+    # fused finish path
+    m1 = CCMetrics()
+    lbl = connected_components(
+        edges, small_graph_threshold=700, pre_canonicalized=True,
+        fuse_finish=True, metrics=m1,
+    )
+    assert any(r.get("fused_finish") for r in m1.rounds)
+    assert m1.n_components == lbl.select("comp").distinct().count()
+    # star-contraction rounds mixed in via an always-star policy
+    m2 = CCMetrics()
+    pol = Policy(star_density=1e9, small_graph_edges=0)
+    lbl2 = connected_components(edges, metrics=m2, policy=pol,
+                                pre_canonicalized=True)
+    assert any(r["kind"] == "star_superstep" for r in m2.rounds)
+    assert m2.n_components == lbl2.select("comp").distinct().count()
+
+
+def test_n_components_metric_none_when_not_converged(spark):
+    from em_connected_components_spark.plans.connected_components import (
+        CCMetrics,
+        connected_components,
+    )
+
+    # this gilbert needs ~4 rounds (m profile [3000, 1087, 334, 51]), so
+    # max_rounds=1 stops with edges remaining -> metric must stay None
+    edges = canonicalize(gen.gilbert(spark, n=4000, avg_degree=1.5, seed=7))
+    m = CCMetrics()
+    connected_components(edges, metrics=m, max_rounds=1,
+                         small_graph_threshold=0, pre_canonicalized=True)
+    assert m.rounds[0]["m_next"] > 0  # genuinely not converged
+    assert m.n_components is None  # stopped at max_rounds, not converged
+
+
+def test_n_components_metric_empty(spark):
+    from em_connected_components_spark.plans.connected_components import (
+        CCMetrics,
+        connected_components,
+    )
+
+    m = CCMetrics()
+    empty = spark.createDataFrame([], schema="src long, dst long")
+    connected_components(empty, metrics=m)
+    assert m.n_components == 0

@@ -81,6 +81,11 @@ RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "5"))
 # the pre-registered validity rule itself is unchanged.
 APPEND = os.environ.get("SPARK_GRAFT_SCALING_APPEND", "") == "1"
 TARGET_VALID = int(os.environ.get("SPARK_GRAFT_SCALING_TARGET_VALID", "0"))
+# output artifact (r5: the cc_full workload shape changed — component count
+# now read from the solve's free metric instead of a separate countDistinct
+# job — so post-change runs default to a NEW file rather than mixing
+# estimands with the r4 record in scaling.json)
+OUT_NAME = os.environ.get("SPARK_GRAFT_SCALING_OUT", "scaling_r5.json")
 BRACKET_TOL = 1.25  # pre-registered validity bound on before/after probes
 
 
@@ -185,10 +190,21 @@ def worker(cpus: int, edges_dir: str, out_path: str) -> None:
         lbl, metrics = connected_components_metrics(
             edges, pre_canonicalized=True
         )
-        n_comp = lbl.select(F.countDistinct("comp")).collect()[0][0]
+        # r5: the solve tracks the exact component count as a free
+        # by-product of its own jobs (labels are already materialized by the
+        # eager final checkpoint), so the separate n-row countDistinct scan
+        # that was part of this workload through round 4 is gone. Runs made
+        # with this shape are NOT comparable to BENCH/scaling.json (r4) and
+        # go to a separate artifact (SPARK_GRAFT_SCALING_OUT).
+        n_comp = metrics.n_components
+        src = "metric"
+        if n_comp is None:
+            n_comp = lbl.select(F.countDistinct("comp")).collect()[0][0]
+            src = "count_distinct_fallback"
         dt = time.time() - t0
         return {
             "wall_sec": round(dt, 2),
+            "n_components_source": src,
             "edges_per_sec": round(m / dt, 1),
             "rounds_to_convergence": len(metrics.rounds),
             "n_components": n_comp,
@@ -369,7 +385,7 @@ def orchestrate() -> None:
     )
 
     run_payloads: list[dict] = []
-    scaling_path = os.path.join(REPO, "BENCH", "scaling.json")
+    scaling_path = os.path.join(REPO, "BENCH", OUT_NAME)
     if APPEND and os.path.exists(scaling_path):
         with open(scaling_path) as f:
             prior = json.load(f)
@@ -448,7 +464,7 @@ def orchestrate() -> None:
             "summary": _summarize(run_payloads, workloads),
             "protocol": protocol,
         }
-        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        with open(os.path.join(REPO, "BENCH", OUT_NAME), "w") as f:
             json.dump(payload, f, indent=2)
         print(f"[scaling] run {run_idx} recorded: "
               f"raw={eff} norm={eff_norm} valid={valid}", file=sys.stderr)

@@ -35,9 +35,11 @@ class Policy:
     # compose — cpp/FunctionalSubproblemManager.h:430-757, run-fun-sibeyn.cpp).
     # Wins on DENSE graphs: the full m-row table is touched by ONE contract
     # instead of participating in every hooking round.
-    # LIMITATION: strategy="kkt" is incompatible with a RoundCheckpointer
-    # (its phases are not resumable rounds) — connected_components raises
-    # ValueError rather than silently downgrading to the iterative driver.
+    # strategy="kkt" composes with a RoundCheckpointer since round 4: the
+    # split / L1 / filter / L2 phases commit through checkpoint.
+    # PhaseCheckpointer and the sub-solves run nested per-round
+    # checkpointers, so a killed dense-graph run resumes mid-sub-solve
+    # (kill-injection tests at every boundary in tests/test_checkpoint.py).
     strategy: str = "iterative"
 
     def should_finish_local(self, m: int) -> bool:

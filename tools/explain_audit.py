@@ -207,18 +207,27 @@ def main() -> None:
     )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    # The inner delta solve goes down the single-task kernel path (default
+    # small_graph_threshold — a streaming micro-batch always fits), so the
+    # kernel contributes NO joins and every join in the composed plan is one
+    # of the five label-touching ones: slice carve (LeftSemi), fresh-node
+    # complement (LeftAnti), two relabels, compose. Forbidding BOTH shuffle
+    # join kinds (the session prefers ShuffledHash over SortMerge, so a
+    # leaked label shuffle would surface as either) machine-checks the
+    # incremental plan's central claim (incremental.py:64-78): below the
+    # byte gate the n-row label table is scanned, never exchanged.
     audit(
         "incremental CC (label table scanned, never shuffled)",
-        incremental_connected_components(
-            big_labels, delta, small_graph_threshold=0
-        ),
-        ["BroadcastHashJoin", "LeftSemi"],
+        incremental_connected_components(big_labels, delta),
+        ["BroadcastHashJoin", "LeftSemi", "LeftAnti"],
         "a crawl-delta fold touches the n-row star map only through "
-        "broadcast-built joins (slice semi-join, fresh-node anti, compose); "
-        "the only exchanges are on the batch-bounded delta side. "
+        "broadcast-built joins (slice semi-join, fresh-node anti, relabels, "
+        "compose); the only exchanges are on the batch-bounded delta side. "
         "Auto-broadcast is disabled here, so every broadcast in the plan is "
-        "the engine's own byte-gated hint",
-        forbid=["SortMergeJoin"],
+        "the engine's own byte-gated hint; with the inner solve on the "
+        "kernel path, ANY shuffle join in this plan would be a label-side "
+        "leak — both kinds are forbidden",
+        forbid=["SortMergeJoin", "ShuffledHashJoin"],
     )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",

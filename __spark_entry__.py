@@ -123,6 +123,24 @@ def _q_cc_kkt_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(edges, policy=pol).orderBy("node")
 
 
+def _q_cc_decremental(spark: SparkSession, sf: str) -> DataFrame:
+    # decremental CC (VERDICT r4 #7): solve the full customer→nation graph,
+    # then DELETE a deterministic ~1/7 of the edges (src % 7 == 0) via the
+    # component-bounded re-solve. Result must equal a fresh solve over the
+    # filtered edge set — the oracle is the same recursive-CTE CC over
+    # edges WHERE src % 7 <> 0.
+    from em_connected_components_spark.plans.decremental import (
+        decremental_connected_components,
+    )
+
+    edges = tbl.edges_customer_nation(spark, sf)
+    labels = connected_components(edges)
+    removed = edges.filter(F.pmod(F.col("src"), F.lit(7)) == 0)
+    return decremental_connected_components(
+        labels, edges, removed, pre_canonicalized=True
+    ).orderBy("node")
+
+
 def _q_cc_kkt_checkpointed(spark: SparkSession, sf: str) -> DataFrame:
     # KKT driver WITH the phase checkpointer armed (VERDICT r4 #4b): the
     # bare-KKT oracle query never exercises the PhaseCheckpointer commit
@@ -660,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_kkt_customer_nation": _q_cc_kkt_customer_nation,
         "cc_kkt_checkpointed": _q_cc_kkt_checkpointed,
         "cc_streaming_labels": _q_cc_streaming_labels,
+        "cc_decremental_customer_nation": _q_cc_decremental,
         "cc_star_customer_nation": _q_cc_star_customer_nation,
         "cc_bundles_customer_nation": _q_cc_bundles_customer_nation,
         "cc_doubling_customer_nation": _q_cc_doubling_customer_nation,
@@ -1106,6 +1125,9 @@ def oracle_sql() -> dict[str, str]:
         "cc_kkt_customer_nation": _cc_oracle(_EDGES_CN),
         "cc_kkt_checkpointed": _cc_oracle(_EDGES_CN),
         "cc_streaming_labels": _cc_oracle(_EDGES_CN),
+        "cc_decremental_customer_nation": _cc_oracle(
+            f"SELECT src, dst FROM ({_EDGES_CN}) WHERE src % 7 <> 0"
+        ),
         "cc_star_customer_nation": _cc_oracle(_EDGES_CN),
         "cc_bundles_customer_nation": _cc_oracle(_EDGES_CN),
         "cc_doubling_customer_nation": _cc_oracle(_EDGES_CN),

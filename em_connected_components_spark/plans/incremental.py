@@ -79,6 +79,12 @@ def incremental_connected_components(
 
     ``cc_kwargs`` pass through to the inner `connected_components` call on
     the relabeled delta (strategy, thresholds, checkpointer, ...).
+
+    SCOPE: this fold handles edge INSERTIONS only (the crawl-append case —
+    merges can be composed label-locally). Edge deletions can SPLIT a
+    component and have no label-local composition; use the companion
+    `plans.decremental.decremental_connected_components`, which re-solves
+    exactly the affected components.
     """
     delta = new_edges if pre_canonicalized else canonicalize(new_edges)
     lab = labels.select("node", "comp")

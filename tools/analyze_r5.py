@@ -193,10 +193,9 @@ def scaling_r5_analysis(sc: dict, predicted_norm) -> dict:
     summary = sc.get("summary", {})
     out = {"summary": summary, "n_runs": len(sc.get("runs", []))}
     cc = summary.get("cc_full", {})
-    norm_med = cc.get("normalized_median_valid", cc.get("normalized_median"))
+    norm_med = cc.get("norm_median_valid")
     out["prereg_rule_1_gate_ge_0.8_all_workloads"] = all(
-        (w.get("normalized_median_valid", w.get("normalized_median")) or 0)
-        >= 0.8
+        (w.get("norm_median_valid") or 0) >= 0.8
         for w in summary.values()
     ) if summary else None
     out["prereg_rule_2_cc_full"] = {
